@@ -1,0 +1,399 @@
+"""Distributed batch Self-Organizing Map, DataFrame-native.
+
+Re-expresses the reference training loop (`SOM.scala:79-267`) in
+Spark-first terms:
+
+- The input never leaves the DataFrame API: per-partition partial
+  aggregation runs in ``mapInPandas`` (Arrow batches + one NumPy GEMM
+  per batch, replacing the per-row `findClosest` at `SOM.scala:306-326`),
+- the partial->final combine is a ``groupBy("cell").applyInPandas``
+  with at most height*width keys (the reference's `reduceByKey` at
+  `SOM.scala:209-212` — same bounded shuffle shape),
+- the codebook is an explicit per-iteration broadcast
+  (`SOM.scala:182`), destroyed afterwards,
+- cost comes out of the same reduce rather than an accumulator
+  (accumulators can double-count on task retries; a reduce cannot).
+
+Scale notes (100 TB north star): per iteration the plan is
+scan -> mapInPandas (emits <= n_cells rows per partition) ->
+shuffle bounded by n_cells keys -> collect of n_cells rows. Nothing on
+the driver grows with data size; only with grid size. Broadcast size is
+height*width*d*8 bytes (a 20x20 map on 1024-d embeddings is ~3 MB).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark import keyword_only
+from pyspark.ml import Estimator, Model
+from pyspark.ml.functions import vector_to_array
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
+
+from sparkml_som_spark.som import kernel as K
+from sparkml_som_spark.som.params import SOMParams
+from sparkml_som_spark.som.summary import SOMTrainingSummary
+
+_PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("vec_sum", T.ArrayType(T.DoubleType())),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("cost", T.DoubleType()),
+    ]
+)
+
+
+def _features_as_array(df: DataFrame, col: str) -> DataFrame:
+    """Normalize the features column to array<double> named `__features`.
+
+    Accepts array<float/double> (preferred, Arrow-friendly) or
+    ml VectorUDT (adapter via vector_to_array) — the reference only
+    accepted ml.linalg.Vector (`SOM.scala:84-86`).
+    """
+    dtype = df.schema[col].dataType
+    if isinstance(dtype, T.ArrayType):
+        expr = F.col(col).cast(T.ArrayType(T.DoubleType()))
+    elif dtype.typeName() in ("vector", "vectorudt"):
+        expr = vector_to_array(F.col(col)).cast(T.ArrayType(T.DoubleType()))
+    else:
+        raise TypeError(
+            f"featuresCol {col!r} must be array<numeric> or ml Vector, got {dtype.simpleString()}"
+        )
+    return df.select(expr.alias("__features")).filter(F.col("__features").isNotNull())
+
+
+def _batch_matrix(series: pd.Series) -> np.ndarray:
+    """pandas Series of array<double> -> (n, d) float64 C-contiguous."""
+    return np.asarray(np.stack(series.to_numpy()), dtype=np.float64)
+
+
+class SOM(Estimator, SOMParams):
+    """Spark ML Estimator for Kohonen's batch SOM (reference `SOM.scala:38`)."""
+
+    @keyword_only
+    def __init__(self, **kwargs) -> None:
+        super().__init__()
+        self._initial_model: SOMModel | None = None
+        self._set(**kwargs)
+
+    @keyword_only
+    def setParams(self, **kwargs) -> "SOM":
+        self._set(**kwargs)
+        return self
+
+    # fluent setters, mirroring SOM.scala:54-77
+    def setFeaturesCol(self, v: str) -> "SOM":
+        return self._set(featuresCol=v)
+
+    def setPredictionCol(self, v: str) -> "SOM":
+        return self._set(predictionCol=v)
+
+    def setHeight(self, v: int) -> "SOM":
+        return self._set(height=v)
+
+    def setWidth(self, v: int) -> "SOM":
+        return self._set(width=v)
+
+    def setTMax(self, v: float) -> "SOM":
+        return self._set(tMax=v)
+
+    def setTMin(self, v: float) -> "SOM":
+        return self._set(tMin=v)
+
+    def setMaxIter(self, v: int) -> "SOM":
+        return self._set(maxIter=v)
+
+    def setTol(self, v: float) -> "SOM":
+        return self._set(tol=v)
+
+    def setTopology(self, v: str) -> "SOM":
+        return self._set(topology=v)
+
+    def setNeighborhoodKernel(self, v: str) -> "SOM":
+        return self._set(neighborhoodKernel=v)
+
+    def setTemperatureDecay(self, v: str) -> "SOM":
+        return self._set(temperatureDecay=v)
+
+    def setSeed(self, v: int) -> "SOM":
+        return self._set(seed=v)
+
+    def setInitialModel(self, model: "SOMModel") -> "SOM":
+        """Warm start (reference `SOM.scala:122-131`; its shape `require`s
+        compared Ints to Param objects and never fired — here the check is
+        real and runs against the grid params now and the data dim at fit)."""
+        if model.prototypes.shape[0] != self.getHeight() * self.getWidth():
+            raise ValueError(
+                f"initial model has {model.prototypes.shape[0]} cells, "
+                f"estimator grid is {self.getHeight()}x{self.getWidth()}"
+            )
+        self._initial_model = model
+        return self
+
+    def _init_codebook(self, feats: DataFrame) -> np.ndarray:
+        """Random init: height*width samples WITH replacement, seeded
+        (reference `initRandom`, `SOM.scala:295-298`). RDD takeSample keeps
+        the with-replacement + seeded semantics a DataFrame
+        orderBy(rand).limit cannot express."""
+        n_cells = self.getHeight() * self.getWidth()
+        sample = feats.rdd.map(lambda r: r[0]).takeSample(True, n_cells, seed=self.getOrDefault(self.seed))
+        if not sample:
+            raise ValueError("cannot fit SOM on an empty dataset (no non-null feature rows)")
+        return np.asarray(sample, dtype=np.float64)
+
+    def _fit(self, dataset: DataFrame) -> "SOMModel":
+        self._validate()
+        spark = dataset.sparkSession
+        sc = spark.sparkContext
+        h, w = self.getHeight(), self.getWidth()
+        n_cells = h * w
+        max_iter = self.getOrDefault(self.maxIter)
+        tol = self.getOrDefault(self.tol)
+        kern = self.getNeighborhoodKernel()
+        decay = self.getTemperatureDecay()
+        t_max, t_min = self.getTMax(), self.getTMin()
+
+        feats = _features_as_array(dataset, self.getOrDefault(self.featuresCol))
+        # persist iff the caller didn't (reference SOM.scala:82,88-90)
+        handle_persistence = dataset.storageLevel == StorageLevel.NONE
+        if handle_persistence:
+            feats.persist(StorageLevel.MEMORY_AND_DISK)
+
+        if self._initial_model is not None:
+            codebook = self._initial_model.prototypes.astype(np.float64).copy()
+        else:
+            codebook = self._init_codebook(feats)
+        dim = codebook.shape[1]
+
+        grid_d = K.grid_distances(h, w, self.getTopology())
+        history: list[float] = []
+        it = 0
+        converged = False
+        while it < max_iter and not converged:
+            temp = K.temperature(it, max_iter, t_max, t_min, decay)
+            bc = sc.broadcast(codebook)
+
+            def partial(batches: Iterator[pd.DataFrame], _bc=bc, _n=n_cells, _d=dim) -> Iterator[pd.DataFrame]:
+                cb = np.ascontiguousarray(_bc.value)
+                cn2 = np.einsum("ij,ij->i", cb, cb)
+                sums = np.zeros((_n, _d), dtype=np.float64)
+                counts = np.zeros(_n, dtype=np.int64)
+                cost = 0.0
+                seen = False
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    seen = True
+                    x = _batch_matrix(pdf["__features"])
+                    s, c, co = K.partial_aggregate(x, cb, _n, cn2)
+                    sums += s
+                    counts += c
+                    cost += co
+                if not seen:
+                    return
+                nz = np.flatnonzero(counts)  # emit only non-empty cells (SOM.scala:208)
+                yield pd.DataFrame(
+                    {
+                        "cell": nz.astype(np.int32),
+                        "vec_sum": [sums[i] for i in nz],
+                        "cnt": counts[nz],
+                        # attribute total partition cost to the first emitted row
+                        "cost": [cost] + [0.0] * (len(nz) - 1),
+                    }
+                )
+
+            def reduce_cells(pdf: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame(
+                    {
+                        "cell": [int(pdf["cell"].iloc[0])],
+                        "vec_sum": [np.sum(np.stack(pdf["vec_sum"].to_numpy()), axis=0)],
+                        "cnt": [int(pdf["cnt"].sum())],
+                        "cost": [float(pdf["cost"].sum())],
+                    }
+                )
+
+            rows = (
+                feats.mapInPandas(partial, schema=_PARTIAL_SCHEMA)
+                .groupBy("cell")
+                .applyInPandas(reduce_cells, schema=_PARTIAL_SCHEMA)
+                .collect()
+            )
+            bc.destroy()
+
+            sums = np.zeros((n_cells, dim), dtype=np.float64)
+            counts = np.zeros(n_cells, dtype=np.int64)
+            cost = 0.0
+            for r in rows:
+                sums[r["cell"]] = np.asarray(r["vec_sum"], dtype=np.float64)
+                counts[r["cell"]] = r["cnt"]
+                cost += r["cost"]
+
+            weights = K.neighborhood(grid_d, temp, kern)
+            new_codebook = K.smooth_update(codebook, sums, counts, weights)
+            converged = K.max_movement2(codebook, new_codebook) <= tol * tol
+            codebook = new_codebook
+            history.append(cost)
+            it += 1
+
+        model = SOMModel(prototypes=codebook)
+        model._resetUid(self.uid)
+        self._copyValues(model)
+        predictions = model.transform(dataset)
+        model.summary = SOMTrainingSummary(
+            predictions=predictions,
+            prediction_col=self.getOrDefault(self.predictionCol),
+            features_col=self.getOrDefault(self.featuresCol),
+            height=h,
+            width=w,
+            t_max=t_max,
+            t_min=t_min,
+            max_iter=max_iter,
+            tol=tol,
+            topology=self.getTopology(),
+            neighborhood_kernel=kern,
+            temperature_decay=decay,
+            training_cost=history[-1] if history else float("nan"),
+            objective_history=history,
+        )
+        if handle_persistence:
+            feats.unpersist()
+        return model
+
+
+class SOMModel(Model, SOMParams):
+    """Fitted SOM (reference `SOMModel.scala:27-98`) + save/load, which the
+    reference lacks (`README.md:91`)."""
+
+    def __init__(self, prototypes: np.ndarray | None = None) -> None:
+        super().__init__()
+        self.prototypes = (
+            np.asarray(prototypes, dtype=np.float64) if prototypes is not None else None
+        )
+        self.summary: SOMTrainingSummary | None = None
+
+    def setFeaturesCol(self, v: str) -> "SOMModel":
+        return self._set(featuresCol=v)
+
+    def setPredictionCol(self, v: str) -> "SOMModel":
+        return self._set(predictionCol=v)
+
+    def has_summary(self) -> bool:
+        return self.summary is not None
+
+    def _bmu_udf(self, spark: SparkSession):
+        bc = spark.sparkContext.broadcast(self.prototypes)
+
+        @F.pandas_udf(T.IntegerType())
+        def predict_udf(arrs: pd.Series) -> pd.Series:
+            cb = np.ascontiguousarray(bc.value)
+            cn2 = np.einsum("ij,ij->i", cb, cb)
+            x = _batch_matrix(arrs)
+            idx, _ = K.find_bmu(x, cb, cn2)
+            return pd.Series(idx.astype(np.int32))
+
+        return predict_udf
+
+    def _features_expr(self, df: DataFrame):
+        col = self.getOrDefault(self.featuresCol)
+        dtype = df.schema[col].dataType
+        if isinstance(dtype, T.ArrayType):
+            return F.col(col).cast(T.ArrayType(T.DoubleType()))
+        return vector_to_array(F.col(col)).cast(T.ArrayType(T.DoubleType()))
+
+    def _transform(self, dataset: DataFrame) -> DataFrame:
+        """Append the BMU index column (reference `SOMModel.scala:76-81`),
+        via a vectorized pandas_udf against an explicit broadcast — the
+        reference shipped prototypes in the UDF closure per-task."""
+        pred_col = self.getOrDefault(self.predictionCol)
+        if not pred_col:  # empty name disables output (SchemaUtils.scala:90)
+            return dataset
+        udf = self._bmu_udf(dataset.sparkSession)
+        return dataset.withColumn(pred_col, udf(self._features_expr(dataset)))
+
+    def predict(self, features) -> int:
+        """Single-vector convenience (reference `SOMModel.scala:88-90`)."""
+        x = np.asarray(features, dtype=np.float64)[None, :]
+        idx, _ = K.find_bmu(x, self.prototypes)
+        return int(idx[0])
+
+    def compute_cost(self, dataset: DataFrame) -> float:
+        """Sum of squared distances to BMU (reference `SOMModel.scala:92-97`).
+        Map + global sum: no shuffle."""
+        spark = dataset.sparkSession
+        bc = spark.sparkContext.broadcast(self.prototypes)
+
+        @F.pandas_udf(T.DoubleType())
+        def min_d2(arrs: pd.Series) -> pd.Series:
+            cb = np.ascontiguousarray(bc.value)
+            cn2 = np.einsum("ij,ij->i", cb, cb)
+            x = _batch_matrix(arrs)
+            _, d2 = K.find_bmu(x, cb, cn2)
+            return pd.Series(d2)
+
+        row = dataset.select(
+            F.sum(min_d2(self._features_expr(dataset))).alias("cost")
+        ).first()
+        return float(row["cost"])
+
+    computeCost = compute_cost  # reference-style alias
+
+    def prototypes_df(self, spark: SparkSession) -> DataFrame:
+        """Codebook as a DataFrame (cell, row, col, vector) — joins against
+        per-cell aggregates; always broadcastable (height*width rows)."""
+        w = self.getWidth()
+        rows = [
+            (int(i), int(i // w), int(i % w), [float(v) for v in vec])
+            for i, vec in enumerate(self.prototypes)
+        ]
+        return spark.createDataFrame(rows, "cell int, row int, col int, vector array<double>")
+
+    # --- persistence (closes the reference's stated gap, README.md:91) ---
+    def save(self, path: str) -> None:
+        spark = SparkSession.getActiveSession()
+        meta = {
+            "height": self.getHeight(),
+            "width": self.getWidth(),
+            "tMax": self.getTMax(),
+            "tMin": self.getTMin(),
+            "maxIter": self.getOrDefault(self.maxIter),
+            "tol": self.getOrDefault(self.tol),
+            "topology": self.getTopology(),
+            "neighborhoodKernel": self.getNeighborhoodKernel(),
+            "temperatureDecay": self.getTemperatureDecay(),
+            "featuresCol": self.getOrDefault(self.featuresCol),
+            "predictionCol": self.getOrDefault(self.predictionCol),
+            "seed": self.getOrDefault(self.seed),
+        }
+        self.prototypes_df(spark).write.mode("overwrite").parquet(f"{path}/prototypes")
+        spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(1).write.mode(
+            "overwrite"
+        ).text(f"{path}/metadata")
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "SOMModel":
+        meta = json.loads(spark.read.text(f"{path}/metadata").first()["value"])
+        proto_rows = spark.read.parquet(f"{path}/prototypes").orderBy("cell").collect()
+        prototypes = np.asarray([r["vector"] for r in proto_rows], dtype=np.float64)
+        model = cls(prototypes=prototypes)
+        model._set(
+            height=meta["height"],
+            width=meta["width"],
+            tMax=meta["tMax"],
+            tMin=meta["tMin"],
+            maxIter=meta["maxIter"],
+            tol=meta["tol"],
+            topology=meta["topology"],
+            neighborhoodKernel=meta["neighborhoodKernel"],
+            temperatureDecay=meta["temperatureDecay"],
+            featuresCol=meta["featuresCol"],
+            predictionCol=meta["predictionCol"],
+            seed=meta["seed"],
+        )
+        return model

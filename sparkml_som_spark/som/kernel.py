@@ -1,0 +1,127 @@
+"""NumPy kernels for the batch Self-Organizing Map.
+
+These replace the reference's per-row Scala paths with batched linear
+algebra (reference: BMU search `SOM.scala:306-326`, distance identity
+`MLUtils.scala:51-89`, neighborhood/decay scalars `SOM.scala:272-290`,
+topology-weighted update `SOM.scala:219-244`). One GEMM per Arrow batch
+replaces per-pair triangle-inequality pruning — on dense data the
+vectorized form wins and is exactly the same
+``|x|^2 + |c|^2 - 2*x.c`` identity, clamped at 0 like the reference's
+precision guard (`MLUtils.scala:79`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+VALID_TOPOLOGIES = ("rectangular",)
+VALID_KERNELS = ("gaussian", "rectangular")
+VALID_DECAYS = ("exponential", "linear")
+
+
+def grid_distances(height: int, width: int, topology: str = "rectangular") -> np.ndarray:
+    """(H*W, H*W) Manhattan distance between flattened grid cells.
+
+    Mirrors `cellDist` (`SOM.scala:288-290`): cell id -> (id // width,
+    id % width); computed once per fit, not per pair.
+    """
+    if topology not in VALID_TOPOLOGIES:
+        raise ValueError(f"unknown topology {topology!r}; expected one of {VALID_TOPOLOGIES}")
+    ids = np.arange(height * width)
+    rows = ids // width
+    cols = ids % width
+    return (
+        np.abs(rows[:, None] - rows[None, :]) + np.abs(cols[:, None] - cols[None, :])
+    ).astype(np.int64)
+
+
+def temperature(it: int, max_iter: int, t_max: float, t_min: float, decay: str) -> float:
+    """Temperature at iteration ``it`` (0-based).
+
+    Reference formulas at `SOM.scala:272-275`. The reference divides by
+    ``maxIter - 1`` unguarded (div-by-zero for maxIter=1); we guard and
+    define maxIter=1 => T = t_max (iteration fraction 0).
+    """
+    if decay not in VALID_DECAYS:
+        raise ValueError(f"unknown decay {decay!r}; expected one of {VALID_DECAYS}")
+    frac = 0.0 if max_iter <= 1 else it / (max_iter - 1)
+    if decay == "exponential":
+        return float(t_max * (t_min / t_max) ** frac)
+    return float(t_max + frac * (t_min - t_max))
+
+
+def neighborhood(dists: np.ndarray, temp: float, kernel: str) -> np.ndarray:
+    """Neighborhood weight matrix K(grid_dist, T) (`SOM.scala:280-283`)."""
+    if kernel not in VALID_KERNELS:
+        raise ValueError(f"unknown kernel {kernel!r}; expected one of {VALID_KERNELS}")
+    d = dists.astype(np.float64)
+    if kernel == "gaussian":
+        return np.exp(-(d * d) / (temp * temp))
+    return (d <= temp).astype(np.float64)
+
+
+def squared_distances(batch: np.ndarray, codebook: np.ndarray, code_norms2: np.ndarray | None = None) -> np.ndarray:
+    """(n, k) squared euclidean distances via the GEMM identity.
+
+    Same identity as `MLUtils.fastSquaredDistance` (`MLUtils.scala:51-89`),
+    negative-clamped like its precision guard.
+    """
+    if code_norms2 is None:
+        code_norms2 = np.einsum("ij,ij->i", codebook, codebook)
+    x_norms2 = np.einsum("ij,ij->i", batch, batch)
+    d2 = x_norms2[:, None] + code_norms2[None, :] - 2.0 * (batch @ codebook.T)
+    np.maximum(d2, 0.0, out=d2)
+    return d2
+
+
+def find_bmu(batch: np.ndarray, codebook: np.ndarray, code_norms2: np.ndarray | None = None) -> tuple[np.ndarray, np.ndarray]:
+    """Best-matching-unit index + squared distance for each row.
+
+    Batched replacement for `SOM.findClosest` (`SOM.scala:306-326`).
+    Returns (bmu_idx int64 (n,), min_d2 float64 (n,)).
+    """
+    d2 = squared_distances(batch, codebook, code_norms2)
+    idx = d2.argmin(axis=1)
+    return idx, d2[np.arange(len(idx)), idx]
+
+
+def partial_aggregate(batch: np.ndarray, codebook: np.ndarray, n_cells: int, code_norms2: np.ndarray | None = None) -> tuple[np.ndarray, np.ndarray, float]:
+    """One partition-local combine step (`SOM.scala:192-209` analog).
+
+    Returns (sums (n_cells, d), counts (n_cells,), cost) for this batch:
+    scatter-add of each point into its BMU cell + accumulated
+    quantization cost.
+    """
+    idx, d2 = find_bmu(batch, codebook, code_norms2)
+    sums = np.zeros((n_cells, batch.shape[1]), dtype=np.float64)
+    np.add.at(sums, idx, batch)
+    counts = np.bincount(idx, minlength=n_cells).astype(np.int64)
+    return sums, counts, float(d2.sum())
+
+
+def smooth_update(
+    codebook: np.ndarray,
+    sums: np.ndarray,
+    counts: np.ndarray,
+    weights: np.ndarray,
+) -> np.ndarray:
+    """Topology-weighted codebook update (`SOM.scala:219-244`):
+
+        c_k <- (sum_j W[k,j] * sums_j) / (sum_j W[k,j] * counts_j)
+
+    Cells whose weighted count is 0 (possible only with the rectangular
+    kernel and an empty neighborhood) keep their previous vector — the
+    reference would divide by zero there; keeping the old vector is the
+    documented divergence.
+    """
+    num = weights @ sums
+    den = weights @ counts.astype(np.float64)
+    new_codebook = codebook.copy()
+    nz = den > 0
+    new_codebook[nz] = num[nz] / den[nz, None]
+    return new_codebook
+
+
+def max_movement2(old: np.ndarray, new: np.ndarray) -> float:
+    """Max squared prototype displacement — convergence stat (`SOM.scala:240-242`)."""
+    return float(((new - old) ** 2).sum(axis=1).max())

@@ -1,0 +1,62 @@
+"""Table registry for the driver's star schema + generic readers.
+
+``load_tables(spark, sf_dir)`` returns a dict of DataFrames and also
+registers each as a temp view so ``spark.sql`` works against the same
+names DuckDB uses in the oracle harness.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Small dimension tables — always broadcastable in joins.
+DIM_TABLES = {"region", "nation", "supplier", "part", "customer"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None, register: bool = True
+) -> dict[str, DataFrame]:
+    out: dict[str, DataFrame] = {}
+    for name in names or TABLE_NAMES:
+        df = load_table(spark, sf_dir, name)
+        if register:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def read_any(spark: SparkSession, path: str, fmt: str | None = None, **options) -> DataFrame:
+    """Generic source dispatch: parquet/csv/json/orc/text by extension or fmt."""
+    if fmt is None:
+        ext = os.path.splitext(path)[1].lstrip(".").lower()
+        fmt = {"pq": "parquet", "jsonl": "json", "txt": "text"}.get(ext, ext or "parquet")
+    reader = spark.read
+    if fmt == "csv":
+        reader = reader.option("header", "true").option("inferSchema", "true")
+    return reader.format(fmt).options(**options).load(path)
+
+
+def write_any(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    writer = df.write.mode(mode).format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)

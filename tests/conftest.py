@@ -1,0 +1,30 @@
+import os
+
+import pytest
+
+os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
+os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "4")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+SF_DIR_MED = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from sparkml_som_spark.session import get_spark
+
+    spark = get_spark("sparkml-som-spark-tests")
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def tables(spark, sf_dir):
+    from sparkml_som_spark.sources import load_tables
+
+    return load_tables(spark, sf_dir)

@@ -1,0 +1,109 @@
+"""Closed-form unit tests for the SOM NumPy kernels
+(values hand-derived from the formulas at SOM.scala:272-290)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from sparkml_som_spark.som import kernel as K
+
+
+def test_grid_distances_2x3():
+    d = K.grid_distances(2, 3)
+    # cell 0=(0,0), cell 5=(1,2): manhattan = 1+2 = 3
+    assert d[0, 5] == 3
+    assert d[0, 0] == 0
+    assert d[1, 3] == 2  # (0,1)->(1,0)
+    assert (d == d.T).all()
+
+
+def test_temperature_exponential():
+    # T(it) = tMax * (tMin/tMax)^(it/(maxIter-1))
+    assert K.temperature(0, 10, 10.0, 1.0, "exponential") == pytest.approx(10.0)
+    assert K.temperature(9, 10, 10.0, 1.0, "exponential") == pytest.approx(1.0)
+    assert K.temperature(4, 9, 10.0, 1.0, "exponential") == pytest.approx(10.0 * 0.1**0.5)
+
+
+def test_temperature_linear():
+    assert K.temperature(0, 5, 8.0, 2.0, "linear") == pytest.approx(8.0)
+    assert K.temperature(4, 5, 8.0, 2.0, "linear") == pytest.approx(2.0)
+    assert K.temperature(2, 5, 8.0, 2.0, "linear") == pytest.approx(5.0)
+
+
+def test_temperature_maxiter_1_guard():
+    # reference divides by maxIter-1 unguarded; we define frac=0
+    assert K.temperature(0, 1, 10.0, 1.0, "exponential") == pytest.approx(10.0)
+
+
+def test_neighborhood_gaussian():
+    d = np.array([[0, 1], [1, 0]])
+    w = K.neighborhood(d, 2.0, "gaussian")
+    assert w[0, 0] == pytest.approx(1.0)
+    assert w[0, 1] == pytest.approx(math.exp(-1.0 / 4.0))
+
+
+def test_neighborhood_rectangular():
+    d = np.array([[0, 1, 2]])
+    w = K.neighborhood(d, 1.0, "rectangular")
+    assert w.tolist() == [[1.0, 1.0, 0.0]]
+
+
+def test_find_bmu_matches_bruteforce():
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(50, 8))
+    cb = rng.normal(size=(12, 8))
+    idx, d2 = K.find_bmu(x, cb)
+    brute = ((x[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+    assert (idx == brute.argmin(axis=1)).all()
+    np.testing.assert_allclose(d2, brute.min(axis=1), rtol=1e-10, atol=1e-9)
+
+
+def test_partial_aggregate_scatter():
+    x = np.array([[0.0, 0.0], [0.1, 0.0], [1.0, 1.0]])
+    cb = np.array([[0.0, 0.0], [1.0, 1.0]])
+    sums, counts, cost = K.partial_aggregate(x, cb, 2)
+    assert counts.tolist() == [2, 1]
+    np.testing.assert_allclose(sums[0], [0.1, 0.0])
+    np.testing.assert_allclose(sums[1], [1.0, 1.0])
+    assert cost == pytest.approx(0.01)
+
+
+def test_smooth_update_hand_computed():
+    # 2x1 grid, rectangular kernel T=0 => identity weights => plain k-means step
+    cb = np.array([[0.0], [10.0]])
+    sums = np.array([[2.0], [30.0]])
+    counts = np.array([2, 3])
+    w_id = K.neighborhood(K.grid_distances(2, 1), 0.0, "rectangular")
+    new = K.smooth_update(cb, sums, counts, w_id)
+    np.testing.assert_allclose(new, [[1.0], [10.0]])
+
+
+def test_smooth_update_weighted():
+    # 1x2 grid, gaussian T: new_k = (W@S)/(W@n)
+    cb = np.array([[0.0], [1.0]])
+    sums = np.array([[4.0], [10.0]])
+    counts = np.array([2, 2])
+    D = K.grid_distances(1, 2)
+    W = K.neighborhood(D, 1.0, "gaussian")
+    expected = (W @ sums) / (W @ counts.astype(float))[:, None]
+    got = K.smooth_update(cb, sums, counts, W)
+    np.testing.assert_allclose(got, expected)
+
+
+def test_smooth_update_empty_cell_keeps_old():
+    cb = np.array([[5.0], [7.0]])
+    sums = np.array([[0.0], [3.0]])
+    counts = np.array([0, 1])
+    w_id = np.eye(2)
+    new = K.smooth_update(cb, sums, counts, w_id)
+    np.testing.assert_allclose(new, [[5.0], [3.0]])
+
+
+def test_invalid_enums_raise():
+    with pytest.raises(ValueError):
+        K.temperature(0, 5, 1, 1, "nope")
+    with pytest.raises(ValueError):
+        K.neighborhood(np.zeros((1, 1)), 1.0, "nope")
+    with pytest.raises(ValueError):
+        K.grid_distances(2, 2, "hexagonal")
