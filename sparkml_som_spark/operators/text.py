@@ -1,0 +1,202 @@
+"""Text-analysis operators over the documents table: token stats,
+quality scoring, language profile, word frequency, fingerprinting.
+
+All hot-path expressions are built-in higher-order functions (JVM-side);
+the only Python is the registry glue.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkml_som_spark.functions import word_tokens
+from sparkml_som_spark.operators.registry import register
+from sparkml_som_spark.sources import load_table
+
+# a small deterministic stopword list shared verbatim with the oracle SQL
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+_SW_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+
+@register(
+    "text_token_stats",
+    sql="""
+    SELECT source,
+           COUNT(*)                                              AS n_docs,
+           ROUND(AVG(len(string_split(lower(text), ' '))), 4)    AS avg_tokens,
+           ROUND(AVG(n_chars), 4)                                AS avg_chars,
+           SUM(len(string_split(lower(text), ' ')))              AS total_tokens
+    FROM documents
+    GROUP BY source
+    """,
+    desc="token counting per source",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = F.size(word_tokens(F.col("text")))
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(ntok), 4).alias("avg_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.sum(ntok).alias("total_tokens"),
+    )
+
+
+@register(
+    "text_quality_score",
+    sql=f"""
+    SELECT doc_id,
+           n_tokens,
+           ROUND(stop_ratio, 4)  AS stopword_ratio,
+           ROUND(awl, 4)         AS avg_word_len,
+           ROUND(CAST( (CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 0.5 ELSE 0.0 END)
+                     + (CASE WHEN stop_ratio BETWEEN 0.05 AND 0.5 THEN 0.3 ELSE 0.0 END)
+                     + (CASE WHEN awl BETWEEN 3 AND 8 THEN 0.2 ELSE 0.0 END)
+                 AS DOUBLE), 4) AS quality
+    FROM (
+        SELECT doc_id,
+               len(string_split(lower(text), ' ')) AS n_tokens,
+               len(list_filter(string_split(lower(text), ' '), w -> w IN {_SW_SQL}))
+                   * 1.0 / len(string_split(lower(text), ' ')) AS stop_ratio,
+               length(replace(text, ' ', '')) * 1.0
+                   / len(string_split(lower(text), ' ')) AS awl
+        FROM documents
+    )
+    """,
+    desc="heuristic quality score: length/stopword/word-length bands",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = word_tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda w: w.isin(STOPWORDS))) / n_tokens
+    awl = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / n_tokens
+    quality = (
+        F.when(n_tokens.between(20, 200), 0.5).otherwise(0.0)
+        + F.when(stop_ratio.between(0.05, 0.5), 0.3).otherwise(0.0)
+        + F.when(awl.between(3, 8), 0.2).otherwise(0.0)
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(awl, 4).alias("avg_word_len"),
+        F.round(quality, 4).alias("quality"),
+    )
+
+
+@register(
+    "text_lang_profile",
+    sql="""
+    SELECT lang,
+           COUNT(*)                AS n_docs,
+           ROUND(AVG(n_chars), 4)  AS avg_chars,
+           MIN(n_chars)            AS min_chars,
+           MAX(n_chars)            AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    desc="per-language corpus profile",
+)
+def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "text_langid_ngram",
+    sql=None,  # scoring model lives in Python -> rows-only check
+    desc="language-ID: character-trigram profile similarity (deterministic)",
+)
+def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language ID. Profiles are built per declared
+    `lang` from the corpus itself (top-50 trigram frequency vectors),
+    then every doc is scored against each profile; output = argmax.
+
+    Two-pass shape at scale: pass 1 is a bounded aggregation (langs x
+    trigrams), pass 2 a broadcast of the tiny profile table + a
+    per-doc score, no shuffle beyond the profile build.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 2, 1)),"
+                " i -> substring(lower(text), i, 3))"
+            )
+        ).alias("g"),
+    )
+    prof_w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("g"))
+    profile = (
+        grams.groupBy("lang", "g")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rk", F.row_number().over(prof_w))
+        .where(F.col("rk") <= 50)
+        .select("lang", "g")
+    )
+    doc_grams = grams.groupBy("doc_id", "g").agg(F.count("*").alias("dcnt"))
+    scores = (
+        doc_grams.join(F.broadcast(profile), "g")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("dcnt").alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
+    return (
+        scores.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("doc_id", F.col("lang").alias("predicted_lang"), "score")
+    )
+
+
+@register(
+    "word_freq_topk",
+    sql="""
+    SELECT w AS word, COUNT(*) AS cnt
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+    GROUP BY w
+    ORDER BY cnt DESC, word
+    LIMIT 20
+    """,
+    desc="global top-20 word frequency",
+)
+def word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(word_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(20)
+    )
+
+
+@register(
+    "doc_fingerprint",
+    sql="""
+    SELECT doc_id,
+           md5(lower(trim(text)))                            AS content_fp,
+           md5(array_to_string(list_sort(list_distinct(
+               string_split(lower(text), ' '))), ' '))       AS bow_fp
+    FROM documents
+    """,
+    desc="content + bag-of-words fingerprints (md5, engine-portable)",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.lower(F.trim("text"))).alias("content_fp"),
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct(word_tokens(F.col("text")))), " ")
+        ).alias("bow_fp"),
+    )

@@ -1,0 +1,217 @@
+"""Window functions, time-windowed aggregation (batch analogs of the
+streaming operators), and the as-of join query surface.
+
+Every query here shuffles exactly once, on the window partition key —
+the partitioning a 1000-executor run would want.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparkml_som_spark.operators.asof import asof_join_backward
+from sparkml_som_spark.operators.registry import register
+from sparkml_som_spark.sources import load_table
+
+
+@register(
+    "window_topk_orders_per_customer",
+    sql="""
+    SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 4) AS price, rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    )
+    WHERE rn <= 3
+    """,
+    desc="row_number top-k per group",
+)
+def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.col("o_totalprice"), 4).alias("price"),
+            "rn",
+        )
+    )
+
+
+@register(
+    "window_running_total",
+    sql="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS UNBOUNDED PRECEDING), 4) AS running_total,
+           ROUND(COALESCE(o_totalprice - LAG(o_totalprice) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey), 0), 4) AS delta_prev
+    FROM orders
+    """,
+    desc="running sum + lag delta per customer",
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    order_w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(run_w), 4).alias("running_total"),
+        F.round(
+            F.coalesce(
+                F.col("o_totalprice") - F.lag("o_totalprice").over(order_w), F.lit(0.0)
+            ),
+            4,
+        ).alias("delta_prev"),
+    )
+
+
+@register(
+    "window_rank_dense",
+    sql="""
+    SELECT o_orderstatus, o_orderkey,
+           RANK()       OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS drnk,
+           NTILE(4)     OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+    FROM orders
+    WHERE o_totalprice > 300000
+    """,
+    desc="rank / dense_rank / ntile",
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return orders.select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+# --------------------------------------------------------------------------
+# time windows over the events table (batch analogs of streaming windows)
+# --------------------------------------------------------------------------
+
+@register(
+    "tumbling_window_events",
+    sql="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*)                   AS n_events,
+           ROUND(SUM(value), 4)       AS total_value
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+    desc="1-day tumbling window aggregate (batch twin of the streaming op)",
+)
+def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.window is epoch-aligned, so a 1-day tumbling window start equals
+    date_trunc('day') under the session's UTC timezone."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "sliding_window_events",
+    sql="""
+    SELECT ws AS window_start,
+           COUNT(*)             AS n_events,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM (
+        SELECT value,
+               unnest([date_trunc('day', ts), date_trunc('day', ts) - INTERVAL 1 DAY]) AS ws
+        FROM events
+    )
+    GROUP BY ws
+    """,
+    desc="2-day window sliding by 1 day (each event in two windows)",
+)
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
+    )
+
+
+@register(
+    "session_window_events",
+    sql="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts)              AS session_start,
+           COUNT(*)             AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    desc="session window (30-min gap) — gaps-and-islands oracle",
+)
+def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uses Spark's native session_window; the oracle rebuilds the same
+    sessionization with lag + cumulative sum (gaps-and-islands)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "asof_join_signup_attribution",
+    sql="""
+    SELECT e.event_id, e.user_id, e.ts, s.ts AS signup_ts
+    FROM (SELECT * FROM events WHERE event_type <> 'signup') e
+    ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+      ON e.user_id = s.user_id AND e.ts >= s.ts
+    """,
+    desc="as-of join: latest signup at-or-before each event",
+)
+def asof_join_signup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") != "signup")
+    right = ev.where(F.col("event_type") == "signup").select("user_id", "ts")
+    joined = asof_join_backward(
+        left, right, on="user_id", left_ts="ts", right_ts="ts", value_cols=["ts"], suffix="_signup"
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", F.col("ts_signup").alias("signup_ts")
+    )

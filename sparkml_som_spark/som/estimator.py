@@ -219,20 +219,31 @@ class SOM(Estimator, SOMParams):
                     }
                 )
 
-            rows = (
-                feats.mapInPandas(partial, schema=_PARTIAL_SCHEMA)
-                .groupBy("cell")
-                .applyInPandas(reduce_cells, schema=_PARTIAL_SCHEMA)
-                .collect()
-            )
+            partials = feats.mapInPandas(partial, schema=_PARTIAL_SCHEMA)
+            # Adaptive combine: with few partitions the per-partition
+            # partials (<= n_parts * n_cells rows) are tiny — collect them
+            # straight to the driver and skip a shuffle + Python stage.
+            # At cluster scale (many partitions * large grids) the bounded
+            # groupBy("cell") reduce keeps the driver transfer at n_cells
+            # rows, exactly like the reference's reduceByKey
+            # (SOM.scala:209-212).
+            n_parts = feats.rdd.getNumPartitions()
+            if n_parts * n_cells <= 100_000:
+                rows = partials.collect()
+            else:
+                rows = (
+                    partials.groupBy("cell")
+                    .applyInPandas(reduce_cells, schema=_PARTIAL_SCHEMA)
+                    .collect()
+                )
             bc.destroy()
 
             sums = np.zeros((n_cells, dim), dtype=np.float64)
             counts = np.zeros(n_cells, dtype=np.int64)
             cost = 0.0
             for r in rows:
-                sums[r["cell"]] = np.asarray(r["vec_sum"], dtype=np.float64)
-                counts[r["cell"]] = r["cnt"]
+                sums[r["cell"]] += np.asarray(r["vec_sum"], dtype=np.float64)
+                counts[r["cell"]] += r["cnt"]
                 cost += r["cost"]
 
             weights = K.neighborhood(grid_d, temp, kern)

@@ -29,7 +29,19 @@ DIM_TABLES = {"region", "nation", "supplier", "part", "customer"}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
+        # reader rejects; read nanos as long and truncate to microseconds
+        # (integer div — float division would lose precision on int64 ns).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
 
 
 def load_tables(

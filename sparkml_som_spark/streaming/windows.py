@@ -1,0 +1,76 @@
+"""Structured Streaming windowed aggregations over an events stream.
+
+These are the streaming twins of the batch operators in
+`operators/windows.py` — same window semantics, same output schema, so
+the batch queries double as correctness oracles for the streaming path
+(the strategy SURVEY.md §5 prescribes: batch-window oracle twins).
+
+Watermarking bounds state: late events older than the watermark are
+dropped and their windows finalized — on a real cluster this is what
+keeps state stores from growing with 100 TB of history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def tumbling_window_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """1-day tumbling count/sum per event_type (streaming twin of
+    `tumbling_window_events`)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_window_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """2-day window sliding by 1 day (streaming twin of
+    `sliding_window_events`)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
+    )
+
+
+def session_window_stream(stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Session windows with a 30-minute gap per user (streaming twin of
+    `session_window_events`). Session state merges as events arrive;
+    the watermark closes sessions once no in-gap event can still come."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, table_name: str, mode: str = "complete"):
+    """Start a memory-sink query for tests; caller awaits + stops it."""
+    return (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )

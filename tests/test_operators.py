@@ -1,0 +1,120 @@
+"""Operator-surface tests at sf0.001 (fast). Full oracle parity runs in
+tools/check_oracle.py at sf0.01; these tests assert structural
+invariants + spot values so pytest stays quick."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkml_som_spark.operators.registry import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def test_all_queries_run_and_have_stable_schema(spark, registry):
+    """Every registered query must execute and produce a deterministic,
+    non-degenerate schema at the smallest scale factor."""
+    slow = {"som_cluster_summary", "som_count_invariant", "ann_ivf_som", "dedup_simhash"}
+    for name, spec in registry.items():
+        if name in slow:
+            continue  # covered by dedicated tests below
+        df = spec.fn(spark, SF)
+        assert len(df.columns) > 0, name
+        assert df.count() >= 0, name
+
+
+def test_q1_aggregate_values(spark, registry):
+    rows = registry["q1_pricing_summary"].fn(spark, SF).collect()
+    assert len(rows) == 6  # 3 returnflags x 2 linestatuses
+    total = sum(r["count_order"] for r in rows)
+    assert total > 5000  # nearly all of the 6000 lineitems pass the filter
+
+
+def test_topk_is_deterministic(spark, registry):
+    a = registry["sort_topk_lineitems"].fn(spark, SF).collect()
+    b = registry["sort_topk_lineitems"].fn(spark, SF).collect()
+    assert a == b and len(a) == 15
+
+
+def test_asof_attribution_semantics(spark, registry):
+    df = registry["asof_join_signup_attribution"].fn(spark, SF)
+    rows = df.collect()
+    # every attributed signup must be at or before the event
+    for r in rows:
+        if r["signup_ts"] is not None:
+            assert r["signup_ts"] <= r["ts"]
+    # and some events must be unattributed or attributed (non-degenerate)
+    assert len(rows) > 0
+
+
+def test_session_window_counts_sum_to_events(spark, registry):
+    df = registry["session_window_events"].fn(spark, SF)
+    total = df.agg(F.sum("n_events")).first()[0]
+    from sparkml_som_spark.sources import load_table
+
+    assert total == load_table(spark, SF, "events").count()
+
+
+def test_dedup_ngram_finds_planted_pairs(spark, registry):
+    rows = registry["dedup_ngram_jaccard"].fn(spark, SF).collect()
+    assert all(r["jaccard"] >= 0.8 for r in rows)
+
+
+def test_minhash_matches_exhaustive(spark, registry):
+    exact = {
+        (r["a_id"], r["b_id"]) for r in registry["dedup_ngram_jaccard"].fn(spark, SF).collect()
+    }
+    lsh = {
+        (r["a_id"], r["b_id"]) for r in registry["dedup_minhash_lsh"].fn(spark, SF).collect()
+    }
+    assert lsh == exact  # verification removes FPs; recall ~1 at thr 0.8
+
+
+def test_ann_bruteforce_topk_shape(spark, registry):
+    rows = registry["ann_topk_bruteforce"].fn(spark, SF).collect()
+    by_query = {}
+    for r in rows:
+        by_query.setdefault(r["query_id"], []).append(r)
+    assert set(by_query) == {0, 1, 2, 3, 4}
+    for q, rs in by_query.items():
+        assert len(rs) == 10
+        sims = [r["cos_sim"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rs)
+
+
+def test_ann_ivf_recall_against_bruteforce(spark, registry):
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in registry["ann_topk_bruteforce"].fn(spark, SF).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in registry["ann_ivf_som"].fn(spark, SF).collect()
+    }
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.5, f"IVF recall {recall} too low"  # 4/9 cells probed
+
+
+def test_simhash_detects_near_dups(spark, registry):
+    ngram_pairs = {
+        (r["a_id"], r["b_id"]) for r in registry["dedup_ngram_jaccard"].fn(spark, SF).collect()
+    }
+    simhash_pairs = {
+        (r["a_id"], r["b_id"]) for r in registry["dedup_simhash"].fn(spark, SF).collect()
+    }
+    # simhash (hamming<=3) should overlap heavily with high-jaccard pairs
+    if ngram_pairs:
+        overlap = len(ngram_pairs & simhash_pairs) / len(ngram_pairs)
+        assert overlap >= 0.5, f"simhash overlap {overlap}"
+
+
+def test_langid_shape_and_determinism(spark, registry):
+    df = registry["text_langid_ngram"].fn(spark, SF)
+    rows = df.collect()
+    assert len(rows) == 500  # one prediction per doc
+    assert set(df.columns) == {"doc_id", "predicted_lang", "score"}

@@ -1,0 +1,77 @@
+"""Streaming windows verified against their batch twins — the batch
+query over the same files is the oracle (SURVEY.md §5)."""
+
+import pytest
+
+from sparkml_som_spark.sources import load_table
+from sparkml_som_spark.streaming import (
+    session_window_stream,
+    sliding_window_stream,
+    tumbling_window_stream,
+)
+from sparkml_som_spark.streaming.windows import run_stream_to_memory
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def event_stream(spark, tmp_path_factory):
+    # materialize events as a file stream source (one file = one microbatch
+    # granule); truncate ts to microseconds exactly like the batch loader
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    load_table(spark, SF, "events").write.mode("overwrite").parquet(path)
+    batch = spark.read.parquet(path)
+    stream = spark.readStream.schema(batch.schema).parquet(path)
+    return stream, batch
+
+
+def _run_and_fetch(spark, stream_df, name):
+    q = run_stream_to_memory(stream_df, name)
+    q.awaitTermination(120)
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _as_sets(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_tumbling_stream_matches_batch(spark, event_stream):
+    stream, batch = event_stream
+    got = _run_and_fetch(spark, tumbling_window_stream(stream), "t_tumbling")
+    # batch twin: same transformation on the batch frame (watermark is a
+    # no-op in batch mode)
+    import pyspark.sql.functions as F
+
+    want = (
+        batch.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+    assert _as_sets(got) == _as_sets(want)
+
+
+def test_session_stream_matches_batch(spark, event_stream):
+    stream, batch = event_stream
+    got = _run_and_fetch(spark, session_window_stream(stream), "t_session")
+    import pyspark.sql.functions as F
+
+    want = (
+        batch.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events", "total_value")
+    )
+    assert _as_sets(got) == _as_sets(want)
+
+
+def test_sliding_stream_matches_batch(spark, event_stream):
+    stream, batch = event_stream
+    got = _run_and_fetch(spark, sliding_window_stream(stream), "t_sliding")
+    import pyspark.sql.functions as F
+
+    want = (
+        batch.groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
+    )
+    assert _as_sets(got) == _as_sets(want)

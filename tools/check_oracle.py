@@ -1,0 +1,109 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every `queries()` entry on Spark and its `oracle_sql()` twin on
+DuckDB at sf0.01, compares row count, column names, and an
+order-insensitive value multiset (floats rounded to 6 decimals before
+comparison so engine-level summation-order noise doesn't flag).
+
+Usage: PYTHONPATH=/root/repo python tools/check_oracle.py [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+from collections import Counter
+
+import duckdb
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_ORACLE", "/root/testdata/sf0.01")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_value(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 6)
+    if hasattr(v, "isoformat"):  # datetime/date
+        return v.isoformat().replace("T", " ")
+    if isinstance(v, list):
+        return tuple(norm_value(x) for x in v)
+    return v
+
+
+def row_multiset(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return Counter(tuple(norm_value(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entrymod
+    from sparkml_som_spark.session import get_spark
+
+    only = set(sys.argv[1:])
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            s_cols = [c.lower() for c in sdf.columns]
+            s_rows = sdf.collect()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e).splitlines()[0][:200]}")
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(s_rows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            o_cols = [c.lower() for c in [d[0] for d in res.description]]
+            o_rows = res.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: oracle error: {str(e).splitlines()[0][:200]}")
+            continue
+
+        problems = []
+        if len(s_rows) != len(o_rows):
+            problems.append(f"rowcount spark={len(s_rows)} oracle={len(o_rows)}")
+        if sorted(s_cols) != sorted(o_cols):
+            problems.append(f"columns spark={sorted(s_cols)} oracle={sorted(o_cols)}")
+        if not problems:
+            ms, mo = row_multiset(s_rows, s_cols), row_multiset(o_rows, o_cols)
+            if ms != mo:
+                diff_s = list((ms - mo).items())[:3]
+                diff_o = list((mo - ms).items())[:3]
+                problems.append(f"values spark-only={diff_s} oracle-only={diff_o}")
+        if problems:
+            failures.append(name)
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+        else:
+            print(f"ok    {name}: {len(s_rows)} rows match [{time.time()-t0:.1f}s]")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
