@@ -38,6 +38,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every operator module so its @register calls run."""
     import sparkml_som_spark.operators.dedup  # noqa: F401
     import sparkml_som_spark.operators.relational  # noqa: F401
+    import sparkml_som_spark.operators.relational2  # noqa: F401
     import sparkml_som_spark.operators.similarity  # noqa: F401
     import sparkml_som_spark.operators.som_queries  # noqa: F401
     import sparkml_som_spark.operators.text  # noqa: F401

@@ -15,15 +15,23 @@ from sparkml_som_spark.operators.registry import register
 from sparkml_som_spark.sources import load_table
 
 
+_MODEL_CACHE: dict[str, object] = {}
+
+
 def fit_default_som(spark: SparkSession, sf_dir: str):
+    """Fit (or reuse) the default 5x5 SOM for this sf_dir. The model is
+    deterministic for a fixed seed, so caching across queries in the
+    same process changes nothing but wall time."""
     from sparkml_som_spark.som import SOM
 
     emb = load_table(spark, sf_dir, "embeddings")
-    som = SOM(
-        height=5, width=5, maxIter=10, seed=42, featuresCol="embedding",
-        tMax=4.0, tMin=0.5,
-    )
-    return som.fit(emb), emb
+    if sf_dir not in _MODEL_CACHE:
+        som = SOM(
+            height=5, width=5, maxIter=10, seed=42, featuresCol="embedding",
+            tMax=4.0, tMin=0.5,
+        )
+        _MODEL_CACHE[sf_dir] = som.fit(emb)
+    return _MODEL_CACHE[sf_dir], emb
 
 
 @register(

@@ -135,7 +135,7 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " i -> substring(lower(text), i, 3))"
             )
         ).alias("g"),
-    )
+    ).persist()  # read twice (profile build + doc scoring); avoid re-exploding
     prof_w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("g"))
     profile = (
         grams.groupBy("lang", "g")

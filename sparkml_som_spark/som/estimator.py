@@ -3,28 +3,31 @@
 Re-expresses the reference training loop (`SOM.scala:79-267`) in
 Spark-first terms:
 
-- The input never leaves the DataFrame API: per-partition partial
-  aggregation runs in ``mapInPandas`` (Arrow batches + one NumPy GEMM
-  per batch, replacing the per-row `findClosest` at `SOM.scala:306-326`),
-- the partial->final combine is a ``groupBy("cell").applyInPandas``
-  with at most height*width keys (the reference's `reduceByKey` at
-  `SOM.scala:209-212` — same bounded shuffle shape),
+- The features column is decoded from Arrow ONCE into per-partition
+  NumPy blocks, persisted MEMORY_AND_DISK; each training iteration is
+  pure GEMM over those cached blocks (replacing the per-row
+  `findClosest` at `SOM.scala:306-326` with one batched
+  `|x|^2+|c|^2-2xC^T` argmin per block),
+- partial aggregation runs per partition (the reference's
+  mapPartitions combiner, `SOM.scala:192-209`) and combines via
+  ``treeAggregate`` (depth 2) — the bounded-key `reduceByKey` analog
+  (`SOM.scala:209-212`) with O(sqrt(P)) driver fan-in,
 - the codebook is an explicit per-iteration broadcast
   (`SOM.scala:182`), destroyed afterwards,
 - cost comes out of the same reduce rather than an accumulator
-  (accumulators can double-count on task retries; a reduce cannot).
+  (accumulators can double-count on task retries; a reduce cannot),
+- inference (`transform`) stays fully in the DataFrame API via an
+  Arrow-vectorized pandas_udf, so it composes with any downstream plan.
 
-Scale notes (100 TB north star): per iteration the plan is
-scan -> mapInPandas (emits <= n_cells rows per partition) ->
-shuffle bounded by n_cells keys -> collect of n_cells rows. Nothing on
-the driver grows with data size; only with grid size. Broadcast size is
+Scale notes (100 TB north star): per-iteration driver traffic is one
+(n_cells, dim) float64 array per tree-combine leg — independent of data
+size, growing only with grid size. Broadcast size is
 height*width*d*8 bytes (a 20x20 map on 1024-d embeddings is ~3 MB).
 """
 
 from __future__ import annotations
 
 import json
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
@@ -39,16 +42,6 @@ from pyspark.storagelevel import StorageLevel
 from sparkml_som_spark.som import kernel as K
 from sparkml_som_spark.som.params import SOMParams
 from sparkml_som_spark.som.summary import SOMTrainingSummary
-
-_PARTIAL_SCHEMA = T.StructType(
-    [
-        T.StructField("cell", T.IntegerType()),
-        T.StructField("vec_sum", T.ArrayType(T.DoubleType())),
-        T.StructField("cnt", T.LongType()),
-        T.StructField("cost", T.DoubleType()),
-    ]
-)
-
 
 def _features_as_array(df: DataFrame, col: str) -> DataFrame:
     """Normalize the features column to array<double> named `__features`.
@@ -166,6 +159,18 @@ class SOM(Estimator, SOMParams):
         if handle_persistence:
             feats.persist(StorageLevel.MEMORY_AND_DISK)
 
+        # Decode each partition to ONE dense NumPy block and persist that:
+        # the per-iteration job then runs pure GEMM over cached ndarrays
+        # with no Arrow/pickle decode in the loop (the "treeAggregate on
+        # NumPy blocks" variant from SURVEY.md §3 — DataFrame mapInPandas
+        # paid ~2x per-iteration overhead re-decoding the same rows).
+        def _to_block(rows):
+            buf = [r[0] for r in rows]
+            if buf:
+                yield np.asarray(buf, dtype=np.float64)
+
+        blocks = feats.rdd.mapPartitions(_to_block).persist(StorageLevel.MEMORY_AND_DISK)
+
         if self._initial_model is not None:
             codebook = self._initial_model.prototypes.astype(np.float64).copy()
         else:
@@ -180,71 +185,32 @@ class SOM(Estimator, SOMParams):
             temp = K.temperature(it, max_iter, t_max, t_min, decay)
             bc = sc.broadcast(codebook)
 
-            def partial(batches: Iterator[pd.DataFrame], _bc=bc, _n=n_cells, _d=dim) -> Iterator[pd.DataFrame]:
+            def seq_op(acc, block, _bc=bc, _n=n_cells):
                 cb = np.ascontiguousarray(_bc.value)
                 cn2 = np.einsum("ij,ij->i", cb, cb)
-                sums = np.zeros((_n, _d), dtype=np.float64)
-                counts = np.zeros(_n, dtype=np.int64)
-                cost = 0.0
-                seen = False
-                for pdf in batches:
-                    if len(pdf) == 0:
-                        continue
-                    seen = True
-                    x = _batch_matrix(pdf["__features"])
-                    s, c, co = K.partial_aggregate(x, cb, _n, cn2)
-                    sums += s
-                    counts += c
-                    cost += co
-                if not seen:
-                    return
-                nz = np.flatnonzero(counts)  # emit only non-empty cells (SOM.scala:208)
-                yield pd.DataFrame(
-                    {
-                        "cell": nz.astype(np.int32),
-                        "vec_sum": [sums[i] for i in nz],
-                        "cnt": counts[nz],
-                        # attribute total partition cost to the first emitted row
-                        "cost": [cost] + [0.0] * (len(nz) - 1),
-                    }
-                )
+                s, c, co = K.partial_aggregate(block, cb, _n, cn2)
+                return (acc[0] + s, acc[1] + c, acc[2] + co)
 
-            def reduce_cells(pdf: pd.DataFrame) -> pd.DataFrame:
-                return pd.DataFrame(
-                    {
-                        "cell": [int(pdf["cell"].iloc[0])],
-                        "vec_sum": [np.sum(np.stack(pdf["vec_sum"].to_numpy()), axis=0)],
-                        "cnt": [int(pdf["cnt"].sum())],
-                        "cost": [float(pdf["cost"].sum())],
-                    }
-                )
+            def comb_op(a, b):
+                return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
 
-            partials = feats.mapInPandas(partial, schema=_PARTIAL_SCHEMA)
-            # Adaptive combine: with few partitions the per-partition
-            # partials (<= n_parts * n_cells rows) are tiny — collect them
-            # straight to the driver and skip a shuffle + Python stage.
-            # At cluster scale (many partitions * large grids) the bounded
-            # groupBy("cell") reduce keeps the driver transfer at n_cells
-            # rows, exactly like the reference's reduceByKey
-            # (SOM.scala:209-212).
-            n_parts = feats.rdd.getNumPartitions()
-            if n_parts * n_cells <= 100_000:
-                rows = partials.collect()
+            zero = (
+                np.zeros((n_cells, dim), dtype=np.float64),
+                np.zeros(n_cells, dtype=np.int64),
+                0.0,
+            )
+            # Partial aggregation per partition (reference mapPartitions,
+            # SOM.scala:192-209) + combine (the bounded reduceByKey analog,
+            # SOM.scala:209-212). Single-stage aggregate while the driver
+            # fan-in is small; tree combine (depth 2, O(sqrt(P)) fan-in)
+            # once partition count would swamp the driver — the extra
+            # stage costs a full job-launch latency, so it must not be
+            # paid on small clusters.
+            if blocks.getNumPartitions() <= 256:
+                sums, counts, cost = blocks.aggregate(zero, seq_op, comb_op)
             else:
-                rows = (
-                    partials.groupBy("cell")
-                    .applyInPandas(reduce_cells, schema=_PARTIAL_SCHEMA)
-                    .collect()
-                )
+                sums, counts, cost = blocks.treeAggregate(zero, seq_op, comb_op, depth=2)
             bc.destroy()
-
-            sums = np.zeros((n_cells, dim), dtype=np.float64)
-            counts = np.zeros(n_cells, dtype=np.int64)
-            cost = 0.0
-            for r in rows:
-                sums[r["cell"]] += np.asarray(r["vec_sum"], dtype=np.float64)
-                counts[r["cell"]] += r["cnt"]
-                cost += r["cost"]
 
             weights = K.neighborhood(grid_d, temp, kern)
             new_codebook = K.smooth_update(codebook, sums, counts, weights)
@@ -273,6 +239,7 @@ class SOM(Estimator, SOMParams):
             training_cost=history[-1] if history else float("nan"),
             objective_history=history,
         )
+        blocks.unpersist()
         if handle_persistence:
             feats.unpersist()
         return model

@@ -1,0 +1,77 @@
+"""Physical-plan regression tests: the plans we designed for are the
+plans Spark runs. A correctness-green query with a wrong plan (missed
+pushdown, surprise shuffle, no broadcast) fails here."""
+
+import pytest
+
+from sparkml_som_spark.operators.registry import load_all
+from sparkml_som_spark.plans import (
+    assert_broadcast_join,
+    assert_pushed_filters,
+    count_exchanges,
+    formatted_plan,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def test_filter_pushdown_reaches_scan(spark, registry):
+    df = registry["filter_project_parts"].fn(spark, SF)
+    assert assert_pushed_filters(df), formatted_plan(df)
+    # projection pruning: scan must not read all columns
+    plan = formatted_plan(df)
+    assert "p_retailprice" in plan
+
+
+def test_q6_no_shuffle(spark, registry):
+    """Filter + global agg: partial/final agg only, a single exchange for
+    the final single-partition combine, nothing keyed."""
+    df = registry["q6_revenue_forecast"].fn(spark, SF)
+    assert count_exchanges(df) <= 1, formatted_plan(df)
+    assert assert_pushed_filters(df)
+
+
+def test_q3_broadcasts_dimension(spark, registry):
+    df = registry["q3_shipping_priority"].fn(spark, SF)
+    assert assert_broadcast_join(df), formatted_plan(df)
+
+
+def test_q5_single_fact_shuffle(spark, registry):
+    """All dims broadcast: the only shuffles are the orders-lineitem join
+    and the final small agg."""
+    df = registry["q5_local_supplier_volume"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    # at most: fact-fact join exchange x2 + agg exchange + sort for orderBy
+    assert count_exchanges(df) <= 5, plan
+
+
+def test_topk_plans_take_ordered(spark, registry):
+    df = registry["sort_topk_lineitems"].fn(spark, SF)
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_range_join_is_broadcast_nested_loop(spark, registry):
+    df = registry["range_join_price_bands"].fn(spark, SF)
+    assert "BroadcastNestedLoopJoin" in formatted_plan(df)
+
+
+def test_asof_join_single_shuffle(spark, registry):
+    """The as-of join must shuffle once on the key (plus the union),
+    never produce a nested-loop or range-explosion plan."""
+    df = registry["asof_join_signup_attribution"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_whole_stage_codegen_in_hot_paths(spark, registry):
+    from sparkml_som_spark.plans import has_codegen
+
+    for name in ["q1_pricing_summary", "string_funcs_parts", "date_funcs_orders"]:
+        assert has_codegen(registry[name].fn(spark, SF)), name
