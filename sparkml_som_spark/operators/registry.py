@@ -41,7 +41,9 @@ def load_all() -> dict[str, QuerySpec]:
     import sparkml_som_spark.operators.relational2  # noqa: F401
     import sparkml_som_spark.operators.similarity  # noqa: F401
     import sparkml_som_spark.operators.som_queries  # noqa: F401
+    import sparkml_som_spark.operators.stats  # noqa: F401
     import sparkml_som_spark.operators.text  # noqa: F401
+    import sparkml_som_spark.operators.text_pipeline  # noqa: F401
     import sparkml_som_spark.operators.windows  # noqa: F401
 
     return REGISTRY

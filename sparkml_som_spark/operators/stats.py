@@ -1,0 +1,101 @@
+"""Statistical aggregates + regexp scalar functions (SURVEY.md §2B
+scalar-function coverage, matched against DuckDB equivalents)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkml_som_spark.operators.registry import register
+from sparkml_som_spark.sources import load_table
+
+
+@register(
+    "stats_agg_lineitem",
+    sql="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_extendedprice), 4)              AS price_stddev,
+           ROUND(var_samp(l_quantity), 4)                      AS qty_var,
+           ROUND(corr(l_extendedprice, l_quantity), 4)         AS price_qty_corr,
+           ROUND(covar_samp(l_extendedprice, l_discount), 4)   AS price_disc_covar,
+           ROUND(arg_min(l_extendedprice,
+                 epoch(l_shipdate)::BIGINT * 100000000 + l_orderkey * 10 + l_linenumber), 4)
+                                                               AS earliest_price,
+           ROUND(arg_max(l_extendedprice,
+                 epoch(l_shipdate)::BIGINT * 100000000 + l_orderkey * 10 + l_linenumber), 4)
+                                                               AS latest_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    desc="stddev/variance/corr/covar + argmin/argmax aggregates",
+)
+def stats_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # min_by/max_by on a tied key is nondeterministic (and engines break
+    # ties differently) — extend the ordering key with the unique
+    # (orderkey, linenumber) so both engines agree row-for-row.
+    tiebreak = (
+        F.unix_timestamp("l_shipdate") * F.lit(100000000)
+        + F.col("l_orderkey") * 10
+        + F.col("l_linenumber")
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("price_qty_corr"),
+        F.round(F.covar_samp("l_extendedprice", "l_discount"), 4).alias("price_disc_covar"),
+        F.round(F.min_by("l_extendedprice", tiebreak), 4).alias("earliest_price"),
+        F.round(F.max_by("l_extendedprice", tiebreak), 4).alias("latest_price"),
+    )
+
+
+@register(
+    "regexp_extract_parts",
+    sql="""
+    SELECT p_partkey,
+           CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS INT)  AS brand_num,
+           regexp_replace(p_type, '[aeiou]', '_', 'g')          AS type_devoweled,
+           CASE WHEN regexp_matches(p_name, '^[a-m]') THEN 1 ELSE 0 END AS first_half_alpha
+    FROM part
+    WHERE p_size < 15
+    """,
+    desc="regexp extract/replace/match scalar functions",
+)
+def regexp_extract_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.where(F.col("p_size") < 15).select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).cast("int").alias("brand_num"),
+        F.regexp_replace("p_type", r"[aeiou]", "_").alias("type_devoweled"),
+        F.when(F.col("p_name").rlike(r"^[a-m]"), 1).otherwise(0).alias("first_half_alpha"),
+    )
+
+
+@register(
+    "media_feature_pipeline",
+    sql=None,  # binary decode stub -> rows-only check
+    desc="multimodal: binary payloads -> mapInPandas feature extraction",
+)
+def media_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercises the full multimodal path on real data: documents.text is
+    cast to binary payloads (a stand-in for image bytes — the testdata
+    has no blob column), pushed through the Arrow-batched decode +
+    feature extraction, then near-dup-grouped by content hash."""
+    from sparkml_som_spark.operators.multimodal import extract_image_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("image/fake").alias("mime"),
+        F.lit(8).alias("width"),
+        F.lit(8).alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    feats = extract_image_features(media)
+    return feats.groupBy("sha256").agg(
+        F.min("media_id").alias("canonical_id"),
+        F.count("*").alias("n_copies"),
+        F.round(F.avg("n_bytes"), 4).alias("avg_bytes"),
+    )

@@ -1,0 +1,69 @@
+"""MLlib Pipeline integration: text -> Tokenizer -> HashingTF -> IDF ->
+SOM, proving the SOM drops into `pyspark.ml.Pipeline` as a standard
+stage (the architecture SURVEY.md §7.5 prescribes).
+
+The SOM consumes the IDF output column (VectorUDT) directly through its
+vector adapter — no manual conversion stage needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkml_som_spark.operators.registry import register
+from sparkml_som_spark.sources import load_table
+
+
+def build_text_som_pipeline(n_features: int = 256, height: int = 3, width: int = 3, seed: int = 42):
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import IDF, HashingTF, Tokenizer
+
+    from sparkml_som_spark.som import SOM
+
+    return Pipeline(
+        stages=[
+            Tokenizer(inputCol="text", outputCol="tokens"),
+            HashingTF(inputCol="tokens", outputCol="tf", numFeatures=n_features),
+            IDF(inputCol="tf", outputCol="tfidf"),
+            SOM(
+                height=height,
+                width=width,
+                maxIter=5,
+                seed=seed,
+                featuresCol="tfidf",
+                predictionCol="topic_cell",
+                tMax=2.0,
+                tMin=0.5,
+            ),
+        ]
+    )
+
+
+@register(
+    "text_som_topics",
+    sql=None,  # iterative pipeline -> rows-only check
+    desc="TF-IDF + SOM topic cells over documents (full MLlib pipeline)",
+)
+def text_som_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit the full pipeline on documents and summarize: docs per topic
+    cell and the dominant source. Deterministic for the fixed seed.
+
+    Scale: Tokenizer/HashingTF/IDF are one pass each; HashingTF keeps
+    the feature space bounded (no vocabulary shuffle like
+    CountVectorizer), which is the right trade at 100 TB of text.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    model = build_text_som_pipeline().fit(docs)
+    out = model.transform(docs)
+    from pyspark.sql import Window
+
+    counts = out.groupBy("topic_cell", "source").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("topic_cell").orderBy(F.desc("n"), F.asc("source"))
+    dominant = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("topic_cell", F.col("source").alias("dominant_source"))
+    )
+    occupancy = out.groupBy("topic_cell").agg(F.count("*").alias("n_docs"))
+    return occupancy.join(dominant, "topic_cell").orderBy("topic_cell")

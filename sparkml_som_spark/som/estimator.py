@@ -134,7 +134,13 @@ class SOM(Estimator, SOMParams):
         """Random init: height*width samples WITH replacement, seeded
         (reference `initRandom`, `SOM.scala:295-298`). RDD takeSample keeps
         the with-replacement + seeded semantics a DataFrame
-        orderBy(rand).limit cannot express."""
+        orderBy(rand).limit cannot express.
+
+        Note: like the reference, the sample (and therefore the fitted
+        model) depends on the input's partition layout as well as the
+        seed — identical seed + identical partitioning => identical
+        model; repartitioning changes the draw. Pin `setInitialModel`
+        for layout-independent reproducibility."""
         n_cells = self.getHeight() * self.getWidth()
         sample = feats.rdd.map(lambda r: r[0]).takeSample(True, n_cells, seed=self.getOrDefault(self.seed))
         if not sample:

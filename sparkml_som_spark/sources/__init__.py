@@ -69,6 +69,8 @@ def read_any(spark: SparkSession, path: str, fmt: str | None = None, **options) 
 
 def write_any(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
     writer = df.write.mode(mode).format(fmt)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
