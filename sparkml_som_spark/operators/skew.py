@@ -1,0 +1,38 @@
+"""Skew-mitigation utilities for joins on hot keys.
+
+AQE's skew-join splitting (enabled in session.py) handles most cases at
+runtime; `salted_join` is the explicit fallback for the pathological
+ones — a hot key whose single hash partition would swamp one executor
+no matter how AQE splits post-shuffle files.
+
+Mechanics: the skewed (large) side gets a random salt in [0, n_salts);
+the small side is exploded n_salts times with every salt value; the
+join key becomes (key, salt). Each hot key now spreads over n_salts
+partitions. Results are identical to the unsalted join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join `large` with `small` on column `on`, salted to spread
+    hot keys. `small` is replicated n_salts x — keep it the dimension
+    side. The salt uses a deterministic hash of a unique-ish row hash
+    rather than rand() so the result is reproducible."""
+    salted_large = large.withColumn(
+        "__salt", F.pmod(F.xxhash64(*large.columns), F.lit(n_salts)).cast("int")
+    )
+    salted_small = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = salted_large.join(salted_small, [on, "__salt"], how)
+    return out.drop("__salt")
