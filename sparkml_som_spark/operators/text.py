@@ -159,6 +159,37 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "udtf_chunk_documents",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), pos AS (
+        SELECT doc_id, i, t[i] AS tok,
+               CAST(floor((i - 1) / 20) AS INT) AS chunk_idx
+        FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+    )
+    SELECT doc_id, chunk_idx,
+           string_agg(tok, ' ' ORDER BY i) AS chunk,
+           CAST(COUNT(*) AS INT)           AS n_tokens
+    FROM pos
+    GROUP BY doc_id, chunk_idx
+    """,
+    desc="Python UDTF: LLM-style fixed-size token chunking via LATERAL join",
+)
+def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkml_som_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT doc_id, c.chunk_idx, c.chunk, c.n_tokens
+        FROM documents, LATERAL chunk_text(text, 20) AS c
+        """
+    )
+
+
+@register(
     "word_freq_topk",
     sql="""
     SELECT w AS word, COUNT(*) AS cnt
