@@ -11,10 +11,6 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def as_double_array(col) -> Column:
-    return F.col(col).cast("array<double>") if isinstance(col, str) else col.cast("array<double>")
-
-
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two array<double> columns (JVM-side fold)."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)

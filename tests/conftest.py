@@ -6,7 +6,6 @@ os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
 os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "4")
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
-SF_DIR_MED = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
