@@ -3,6 +3,8 @@ scalar-function coverage, matched against DuckDB equivalents)."""
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -68,6 +70,41 @@ def regexp_extract_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("p_brand", r"([0-9]+)", 1).cast("int").alias("brand_num"),
         F.regexp_replace("p_type", r"[aeiou]", "_").alias("type_devoweled"),
         F.when(F.col("p_name").rlike(r"^[a-m]"), 1).otherwise(0).alias("first_half_alpha"),
+    )
+
+
+@register(
+    "udaf_geomean_orders",
+    sql="""
+    SELECT o_orderpriority,
+           ROUND(exp(AVG(ln(o_totalprice))), 4) AS geo_mean_price,
+           COUNT(*)                             AS n
+    FROM orders
+    WHERE o_totalprice > 0
+    GROUP BY o_orderpriority
+    """,
+    desc="custom UDAF: grouped-agg pandas UDF (geometric mean)",
+)
+def udaf_geomean_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow grouped-agg pandas UDF — the UDAF surface. The same quantity
+    is expressible as exp(avg(ln(x))) in pure SQL (the oracle does), so
+    this intentionally checks the custom-aggregate machinery against a
+    built-in formulation."""
+
+    @F.pandas_udf("double")
+    def geo_mean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    @F.pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        # Spark disallows mixing grouped-agg pandas UDFs with built-in
+        # aggregates in one agg(), so the count is a pandas UDF too
+        return len(v)
+
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(geo_mean("o_totalprice"), 4).alias("geo_mean_price"),
+        n_rows("o_totalprice").alias("n"),
     )
 
 

@@ -8,6 +8,7 @@ so the same builder is used in tests, bench, and the driver contract.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -46,5 +47,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE", os.path.join(tempfile.gettempdir(), "sparkml_som_warehouse")
+            ),
+        )
     )
     return builder.getOrCreate()
