@@ -45,7 +45,9 @@ def som_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed seed. This is the reference's entire pipeline (fit ->
     transform -> summarize) as one query."""
     model, emb = fit_default_som(spark, sf_dir)
-    preds = model.transform(emb)
+    # two aggregations + a join read the transform output — persist so the
+    # pandas_udf BMU kernel runs once, not once per action
+    preds = model.transform(emb).persist()
     label_counts = (
         preds.groupBy("prediction", "label")
         .agg(F.count("*").alias("n"))

@@ -55,7 +55,9 @@ def text_som_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     model = build_text_som_pipeline().fit(docs)
-    out = model.transform(docs)
+    # persist: the full Tokenizer->TF->IDF->SOM transform chain would
+    # otherwise re-run for each of the aggregations below
+    out = model.transform(docs).select("doc_id", "source", "topic_cell").persist()
     from pyspark.sql import Window
 
     counts = out.groupBy("topic_cell", "source").agg(F.count("*").alias("n"))
