@@ -212,6 +212,23 @@ def word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "posexplode_tokens",
+    sql="""
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+    SELECT doc_id, i - 1 AS pos, t[i] AS token
+    FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+    WHERE doc_id < 20
+    """,
+    desc="positional explode (token index preserved)",
+)
+def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.where(F.col("doc_id") < 20).select(
+        "doc_id", F.posexplode(word_tokens(F.col("text"))).alias("pos", "token")
+    )
+
+
+@register(
     "doc_fingerprint",
     sql="""
     SELECT doc_id,

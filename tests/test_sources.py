@@ -37,6 +37,15 @@ def test_json_roundtrip(spark, tmp_path):
     assert back.count() == 5
 
 
+def test_orc_roundtrip(spark, tmp_path):
+    supplier = load_table(spark, SF, "supplier")
+    out = str(tmp_path / "supplier_orc")
+    write_any(supplier, out, fmt="orc")
+    back = read_any(spark, out, fmt="orc")
+    assert back.count() == supplier.count()
+    assert back.schema == supplier.schema
+
+
 def test_read_any_infers_format(spark, tmp_path):
     emb = load_table(spark, SF, "embeddings")
     out = str(tmp_path / "emb.parquet")
