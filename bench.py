@@ -60,7 +60,10 @@ def main() -> None:
         timings["som_main_iters"] = float(model.summary.iterations)
 
     total = round(sum(v for k, v in timings.items() if k != "som_main_iters" and v > 0), 3)
-    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = SF_DIR  # non-standard dir name: report the path, don't crash
     print(
         json.dumps(
             {
@@ -68,7 +71,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf else SF_DIR,
+                "sf": sf,
                 "n_queries": len(timings),
             }
         )

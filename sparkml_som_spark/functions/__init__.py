@@ -11,6 +11,11 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def asum(a: Column) -> Column:
+    """Sum of an array<double> column's elements (JVM-side fold)."""
+    return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x)
+
+
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two array<double> columns (JVM-side fold)."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)

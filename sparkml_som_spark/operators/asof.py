@@ -46,10 +46,17 @@ def asof_join_backward(
         *[F.col(c).alias(f"__l_{c}") for c in lcols],
     )
     # side=0 sorts before side=1 at equal ts => right row at exactly
-    # left_ts matches (>= semantics, like ASOF's default)
+    # left_ts matches (>= semantics, like ASOF's default). The value
+    # columns extend the ordering so ties between right rows sharing
+    # (key, ts) resolve deterministically (greatest value wins) instead
+    # of by partition-internal order.
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(
+            F.col("__ts").asc(),
+            F.col("__side").asc(),
+            *[F.col(f"__r_{c}").asc_nulls_first() for c in value_cols],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried: list[Column] = [

@@ -308,7 +308,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                     {"a_id": bids[bi], "b_id": all_ids[ci], "cos_raw": sims[bi, ci]}
                 )
 
-    return (
-        emb.mapInPandas(gemm_pairs, schema=out_schema)
-        .select("a_id", "b_id", F.round("cos_raw", 4).alias("cos_sim"))
+    from sparkml_som_spark.operators.registry import materialize_small
+
+    # materialize the (small) pair set so the corpus broadcast can be
+    # destroyed instead of living for the rest of the session
+    return materialize_small(
+        emb.mapInPandas(gemm_pairs, schema=out_schema).select(
+            "a_id", "b_id", F.round("cos_raw", 4).alias("cos_sim")
+        ),
+        cleanup=(bc,),
     )

@@ -98,7 +98,11 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     JVM-side; the decoder would be a mapInPandas over the result joined
     back to payloads."""
     return (
-        media.where((F.col("kind") == "video") & F.col("duration_ms").isNotNull())
+        media.where(
+            (F.col("kind") == "video")
+            & F.col("duration_ms").isNotNull()
+            & (F.col("duration_ms") > 0)  # sequence(0, -1) is invalid in Spark
+        )
         .select(
             "media_id",
             F.explode(

@@ -26,6 +26,27 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {}
 
 
+def materialize_small(df: DataFrame, cleanup: tuple = ()) -> DataFrame:
+    """Collect a SMALL result, release held resources (persisted
+    DataFrames / broadcasts), and return an equivalent fresh DataFrame.
+
+    Queries that persist an intermediate for multi-action summaries
+    would otherwise leak cache for the rest of the session (the caller
+    collects after we return, so there is no later unpersist point).
+    Only use when the result is bounded (grid cells, top-k, per-doc
+    rows) — it pins the result on the driver."""
+    spark = df.sparkSession
+    rows = df.collect()
+    for h in cleanup:
+        # Broadcast has both destroy and unpersist — destroy is the full
+        # release; DataFrames only have unpersist
+        if hasattr(h, "destroy"):
+            h.destroy()
+        elif hasattr(h, "unpersist"):
+            h.unpersist()
+    return spark.createDataFrame(rows, df.schema)
+
+
 def register(name: str, sql: str | None = None, desc: str = ""):
     def deco(fn):
         REGISTRY[name] = QuerySpec(name=name, fn=fn, sql=sql, desc=desc)

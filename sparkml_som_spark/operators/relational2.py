@@ -100,7 +100,9 @@ def pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy((F.col("user_id") % 10).alias("user_bucket"))
         .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
         .agg(F.count(F.lit(1)))
-        .na.fill(0)
+        # fill only the pivoted count columns: an unscoped fill would also
+        # rewrite a NULL user_bucket key to 0 and fold it into a real group
+        .na.fill(0, subset=["click", "view", "purchase", "signup", "error"])
     )
 
 
@@ -237,13 +239,14 @@ def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     desc="array math over embedding vectors (JVM-side higher-order fns)",
 )
 def array_math_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkml_som_spark.functions import asum, norm2
+
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
-    sq_sum = F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
     return emb.where(F.col("vec_id") < 100).select(
         "vec_id",
-        F.round(F.sqrt(sq_sum), 4).alias("l2_norm"),
-        F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x) / F.size(v), 4).alias("mean_val"),
+        F.round(F.sqrt(norm2(v)), 4).alias("l2_norm"),
+        F.round(asum(v) / F.size(v), 4).alias("mean_val"),
         F.round(F.array_max(v), 4).alias("max_val"),
         F.size(v).alias("dim"),
     )

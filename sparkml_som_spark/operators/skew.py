@@ -17,6 +17,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+_SAFE_SALTED_JOINS = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+
+
 def salted_join(
     large: DataFrame,
     small: DataFrame,
@@ -27,7 +30,16 @@ def salted_join(
     """Equi-join `large` with `small` on column `on`, salted to spread
     hot keys. `small` is replicated n_salts x — keep it the dimension
     side. The salt uses a deterministic hash of a unique-ish row hash
-    rather than rand() so the result is reproducible."""
+    rather than rand() so the result is reproducible.
+
+    Only left-shaped joins are supported: with the small side exploded
+    n_salts times, right/full outer would emit spurious null-padded
+    copies of small rows whose salt found no partner."""
+    if how not in _SAFE_SALTED_JOINS:
+        raise ValueError(
+            f"salted_join supports {sorted(_SAFE_SALTED_JOINS)}; got {how!r} — "
+            "right/full outer joins would duplicate unmatched small-side rows"
+        )
     salted_large = large.withColumn(
         "__salt", F.pmod(F.xxhash64(*large.columns), F.lit(n_salts)).cast("int")
     )

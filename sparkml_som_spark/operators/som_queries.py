@@ -61,7 +61,9 @@ def som_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("prediction", F.col("label").alias("dominant_label"))
     )
     occupancy = preds.groupBy("prediction").agg(F.count("*").alias("n_rows"))
-    return (
+    from sparkml_som_spark.operators.registry import materialize_small
+
+    result = (
         occupancy.join(dominant, "prediction")
         .select(
             F.col("prediction").alias("cell"),
@@ -70,6 +72,7 @@ def som_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+    return materialize_small(result, cleanup=(preds,))
 
 
 @register(

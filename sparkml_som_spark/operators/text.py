@@ -151,10 +151,13 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("dcnt").alias("score"))
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
-    return (
+    from sparkml_som_spark.operators.registry import materialize_small
+
+    return materialize_small(
         scores.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") == 1)
-        .select("doc_id", F.col("lang").alias("predicted_lang"), "score")
+        .select("doc_id", F.col("lang").alias("predicted_lang"), "score"),
+        cleanup=(grams,),
     )
 
 

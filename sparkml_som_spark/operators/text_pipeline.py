@@ -68,4 +68,8 @@ def text_som_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("topic_cell", F.col("source").alias("dominant_source"))
     )
     occupancy = out.groupBy("topic_cell").agg(F.count("*").alias("n_docs"))
-    return occupancy.join(dominant, "topic_cell").orderBy("topic_cell")
+    from sparkml_som_spark.operators.registry import materialize_small
+
+    return materialize_small(
+        occupancy.join(dominant, "topic_cell").orderBy("topic_cell"), cleanup=(out,)
+    )

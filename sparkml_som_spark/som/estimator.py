@@ -179,6 +179,12 @@ class SOM(Estimator, SOMParams):
 
         if self._initial_model is not None:
             codebook = self._initial_model.prototypes.astype(np.float64).copy()
+            first = feats.first()
+            if first is not None and len(first[0]) != codebook.shape[1]:
+                raise ValueError(
+                    f"initial model dimension {codebook.shape[1]} does not match "
+                    f"data dimension {len(first[0])}"
+                )
         else:
             codebook = self._init_codebook(feats)
         dim = codebook.shape[1]
@@ -278,9 +284,15 @@ class SOMModel(Model, SOMParams):
         def predict_udf(arrs: pd.Series) -> pd.Series:
             cb = np.ascontiguousarray(bc.value)
             cn2 = np.einsum("ij,ij->i", cb, cb)
-            x = _batch_matrix(arrs)
-            idx, _ = K.find_bmu(x, cb, cn2)
-            return pd.Series(idx.astype(np.int32))
+            # null features -> null prediction (fit drops nulls; transform
+            # must not crash on them and must preserve the row count)
+            valid = arrs.notna().to_numpy()
+            out = np.full(len(arrs), None, dtype=object)
+            if valid.any():
+                x = _batch_matrix(arrs[valid])
+                idx, _ = K.find_bmu(x, cb, cn2)
+                out[valid] = idx.astype(np.int32)
+            return pd.Series(out, dtype="Int32")
 
         return predict_udf
 
@@ -317,9 +329,13 @@ class SOMModel(Model, SOMParams):
         def min_d2(arrs: pd.Series) -> pd.Series:
             cb = np.ascontiguousarray(bc.value)
             cn2 = np.einsum("ij,ij->i", cb, cb)
-            x = _batch_matrix(arrs)
-            _, d2 = K.find_bmu(x, cb, cn2)
-            return pd.Series(d2)
+            valid = arrs.notna().to_numpy()
+            out = np.zeros(len(arrs))  # null features contribute zero cost
+            if valid.any():
+                x = _batch_matrix(arrs[valid])
+                _, d2 = K.find_bmu(x, cb, cn2)
+                out[valid] = d2
+            return pd.Series(out)
 
         row = dataset.select(
             F.sum(min_d2(self._features_expr(dataset))).alias("cost")

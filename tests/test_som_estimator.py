@@ -134,6 +134,33 @@ def test_warm_start(spark, small_df):
     assert not np.allclose(m1.prototypes, m0.prototypes) or True  # moved or converged
 
 
+def test_transform_null_features_yields_null_prediction(spark, small_df):
+    model = SOM(height=2, width=2, maxIter=2, seed=1).fit(small_df)
+    with_null = small_df.limit(3).union(
+        spark.createDataFrame([(None,)], "features array<double>")
+    )
+    rows = model.transform(with_null).collect()
+    assert len(rows) == 4  # count preserved
+    preds = [r["prediction"] for r in rows]
+    assert preds.count(None) == 1
+    assert all(p is not None for p, r in zip(preds, rows) if r["features"] is not None)
+    # compute_cost must not crash either; nulls contribute zero
+    assert model.compute_cost(with_null) >= 0.0
+
+
+def test_warm_start_dim_mismatch_raises(spark, small_df):
+    m0 = SOM(height=2, width=2, maxIter=1, seed=4).fit(small_df)  # 3-d
+    five_d = spark.createDataFrame(
+        [([0.1, 0.2, 0.3, 0.4, 0.5],) for _ in range(8)], "features array<double>"
+    )
+    som = SOM(height=2, width=2, maxIter=1, seed=4)
+    som.setInitialModel(m0)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dimension"):
+        som.fit(five_d)
+
+
 def test_warm_start_shape_mismatch_raises(spark, small_df):
     m0 = SOM(height=2, width=2, maxIter=1, seed=4).fit(small_df)
     with pytest.raises(ValueError):
