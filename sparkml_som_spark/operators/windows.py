@@ -196,6 +196,49 @@ def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "interval_join_click_after_signup",
+    sql="""
+    SELECT s.user_id,
+           s.event_id AS signup_id,
+           c.event_id AS click_id,
+           CAST(date_diff('second', s.ts, c.ts) AS BIGINT) AS secs_after
+    FROM (SELECT * FROM events WHERE event_type = 'signup') s
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = s.user_id
+     AND c.ts >= s.ts
+     AND c.ts <  s.ts + INTERVAL 10 MINUTE
+    """,
+    desc="interval join: clicks within 10 minutes after a signup",
+)
+def interval_join_click_after_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal range join with an equi component: Spark shuffles on
+    user_id (the equi key) and applies the time-range predicate as a
+    post-join filter — the shape that scales, vs a pure range join's
+    per-key cross product."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("event_id").alias("signup_id"), F.col("ts").alias("s_ts")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    return (
+        s.join(
+            c,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("c_ts") >= F.col("s_ts"))
+            & (F.col("c_ts") < F.col("s_ts") + F.expr("INTERVAL 10 MINUTES")),
+        )
+        .select(
+            "user_id",
+            "signup_id",
+            "click_id",
+            (F.unix_timestamp("c_ts") - F.unix_timestamp("s_ts")).alias("secs_after"),
+        )
+    )
+
+
+@register(
     "asof_join_signup_attribution",
     sql="""
     SELECT e.event_id, e.user_id, e.ts, s.ts AS signup_ts
