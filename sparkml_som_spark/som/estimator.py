@@ -175,7 +175,18 @@ class SOM(Estimator, SOMParams):
             if buf:
                 yield np.asarray(buf, dtype=np.float64)
 
-        blocks = feats.rdd.mapPartitions(_to_block).persist(StorageLevel.MEMORY_AND_DISK)
+        blocks = feats.rdd.mapPartitions(_to_block)
+        # Right-size parallelism to the data: each training job pays a
+        # fixed per-task scheduling cost, so small datasets spread over
+        # many partitions are overhead-bound (100 iterations x 32 nearly
+        # empty tasks). Coalesce (no shuffle) toward ~100k rows per
+        # block; large data keeps its layout.
+        n_rows = feats.count()
+        n_parts = blocks.getNumPartitions()
+        target = max(1, min(n_parts, n_rows // 100_000 + 1))
+        if target < n_parts:
+            blocks = blocks.coalesce(target)
+        blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
 
         if self._initial_model is not None:
             codebook = self._initial_model.prototypes.astype(np.float64).copy()
