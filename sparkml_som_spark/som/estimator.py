@@ -88,6 +88,9 @@ class SOM(Estimator, SOMParams):
     def setPredictionCol(self, v: str) -> "SOM":
         return self._set(predictionCol=v)
 
+    def setDistanceCol(self, v: str) -> "SOM":
+        return self._set(distanceCol=v)
+
     def setHeight(self, v: int) -> "SOM":
         return self._set(height=v)
 
@@ -204,12 +207,18 @@ class SOM(Estimator, SOMParams):
         history: list[float] = []
         it = 0
         converged = False
+        # Small codebooks ride the task closure (cheaper than creating and
+        # destroying a broadcast every iteration); big ones broadcast once
+        # per iteration so executors fetch them a single time.
+        use_broadcast = codebook.nbytes >= 1 << 20
+
         while it < max_iter and not converged:
             temp = K.temperature(it, max_iter, t_max, t_min, decay)
-            bc = sc.broadcast(codebook)
+            bc = sc.broadcast(codebook) if use_broadcast else None
+            cb_direct = None if use_broadcast else codebook
 
-            def seq_op(acc, block, _bc=bc, _n=n_cells):
-                cb = np.ascontiguousarray(_bc.value)
+            def seq_op(acc, block, _bc=bc, _cb=cb_direct, _n=n_cells):
+                cb = np.ascontiguousarray(_bc.value if _bc is not None else _cb)
                 cn2 = np.einsum("ij,ij->i", cb, cb)
                 s, c, co = K.partial_aggregate(block, cb, _n, cn2)
                 return (acc[0] + s, acc[1] + c, acc[2] + co)
@@ -233,7 +242,8 @@ class SOM(Estimator, SOMParams):
                 sums, counts, cost = blocks.aggregate(zero, seq_op, comb_op)
             else:
                 sums, counts, cost = blocks.treeAggregate(zero, seq_op, comb_op, depth=2)
-            bc.destroy()
+            if bc is not None:
+                bc.destroy()
 
             weights = K.neighborhood(grid_d, temp, kern)
             new_codebook = K.smooth_update(codebook, sums, counts, weights)
@@ -285,25 +295,30 @@ class SOMModel(Model, SOMParams):
     def setPredictionCol(self, v: str) -> "SOMModel":
         return self._set(predictionCol=v)
 
+    def setDistanceCol(self, v: str) -> "SOMModel":
+        return self._set(distanceCol=v)
+
     def has_summary(self) -> bool:
         return self.summary is not None
 
     def _bmu_udf(self, spark: SparkSession):
         bc = spark.sparkContext.broadcast(self.prototypes)
 
-        @F.pandas_udf(T.IntegerType())
-        def predict_udf(arrs: pd.Series) -> pd.Series:
+        @F.pandas_udf("prediction int, distance double")
+        def predict_udf(arrs: pd.Series) -> pd.DataFrame:
             cb = np.ascontiguousarray(bc.value)
             cn2 = np.einsum("ij,ij->i", cb, cb)
-            # null features -> null prediction (fit drops nulls; transform
-            # must not crash on them and must preserve the row count)
+            # null features -> null prediction/distance (fit drops nulls;
+            # transform must not crash and must preserve the row count)
             valid = arrs.notna().to_numpy()
-            out = np.full(len(arrs), None, dtype=object)
+            pred = pd.array([pd.NA] * len(arrs), dtype="Int32")
+            dist = pd.array([pd.NA] * len(arrs), dtype="Float64")
             if valid.any():
                 x = _batch_matrix(arrs[valid])
-                idx, _ = K.find_bmu(x, cb, cn2)
-                out[valid] = idx.astype(np.int32)
-            return pd.Series(out, dtype="Int32")
+                idx, d2 = K.find_bmu(x, cb, cn2)
+                pred[valid] = idx.astype(np.int32)
+                dist[valid] = d2
+            return pd.DataFrame({"prediction": pred, "distance": dist})
 
         return predict_udf
 
@@ -317,12 +332,21 @@ class SOMModel(Model, SOMParams):
     def _transform(self, dataset: DataFrame) -> DataFrame:
         """Append the BMU index column (reference `SOMModel.scala:76-81`),
         via a vectorized pandas_udf against an explicit broadcast — the
-        reference shipped prototypes in the UDF closure per-task."""
+        reference shipped prototypes in the UDF closure per-task. The
+        optional distanceCol (an extension) emits the squared distance to
+        the BMU from the same kernel pass."""
         pred_col = self.getOrDefault(self.predictionCol)
-        if not pred_col:  # empty name disables output (SchemaUtils.scala:90)
+        dist_col = self.getDistanceCol()
+        if not pred_col and not dist_col:
+            # empty names disable output (SchemaUtils.scala:90)
             return dataset
         udf = self._bmu_udf(dataset.sparkSession)
-        return dataset.withColumn(pred_col, udf(self._features_expr(dataset)))
+        out = dataset.withColumn("__bmu", udf(self._features_expr(dataset)))
+        if pred_col:
+            out = out.withColumn(pred_col, F.col("__bmu.prediction"))
+        if dist_col:
+            out = out.withColumn(dist_col, F.col("__bmu.distance"))
+        return out.drop("__bmu")
 
     def predict(self, features) -> int:
         """Single-vector convenience (reference `SOMModel.scala:88-90`)."""

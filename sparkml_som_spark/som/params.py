@@ -64,6 +64,13 @@ class SOMParams(HasFeaturesCol, HasPredictionCol, HasMaxIter, HasSeed, HasTol):
         f"temperature decay schedule, one of {VALID_DECAYS}",
         typeConverter=TypeConverters.toString,
     )
+    distanceCol = Param(
+        Params._dummy(),
+        "distanceCol",
+        "optional output column for the squared distance to the BMU "
+        "(extension over the reference; empty string disables)",
+        typeConverter=TypeConverters.toString,
+    )
 
     def __init__(self) -> None:
         super().__init__()
@@ -80,6 +87,7 @@ class SOMParams(HasFeaturesCol, HasPredictionCol, HasMaxIter, HasSeed, HasTol):
             temperatureDecay="exponential",
             featuresCol="features",
             predictionCol="prediction",
+            distanceCol="",
             seed=1234,  # reference derives a hash-based default; we pin a stable one
         )
 
@@ -104,6 +112,9 @@ class SOMParams(HasFeaturesCol, HasPredictionCol, HasMaxIter, HasSeed, HasTol):
 
     def getTemperatureDecay(self) -> str:
         return self.getOrDefault(self.temperatureDecay)
+
+    def getDistanceCol(self) -> str:
+        return self.getOrDefault(self.distanceCol)
 
     def _validate(self) -> None:
         """Range/enum guards (reference: ParamValidators at SOMParams.scala:30-88)."""

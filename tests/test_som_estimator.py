@@ -134,6 +134,24 @@ def test_warm_start(spark, small_df):
     assert not np.allclose(m1.prototypes, m0.prototypes) or True  # moved or converged
 
 
+def test_distance_col_extension(spark, small_df):
+    import numpy as np
+
+    model = SOM(height=2, width=2, maxIter=2, seed=1, distanceCol="bmu_dist").fit(small_df)
+    rows = model.transform(small_df.limit(20)).collect()
+    assert all(r["bmu_dist"] >= 0 for r in rows)
+    # distance agrees with a local recompute against the prototypes
+    for r in rows[:5]:
+        x = np.asarray(r["features"])
+        d2 = ((model.prototypes - x) ** 2).sum(axis=1)
+        assert r["prediction"] == int(d2.argmin())
+        assert r["bmu_dist"] == pytest.approx(float(d2.min()), rel=1e-9)
+    # disabling the prediction col but keeping distance still works
+    model.setPredictionCol("")
+    cols = model.transform(small_df).columns
+    assert "bmu_dist" in cols and "prediction" not in cols
+
+
 def test_transform_null_features_yields_null_prediction(spark, small_df):
     model = SOM(height=2, width=2, maxIter=2, seed=1).fit(small_df)
     with_null = small_df.limit(3).union(
