@@ -79,6 +79,22 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "approx_percentile_prices",
+    sql=None,  # t-digest/GK sketches are engine-specific -> rows-only
+    desc="approx_percentile sketch vs exact percentile per order status",
+)
+def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch path for the 100 TB case (exact percentile needs a full
+    sort per group); exact values alongside show the sketch error."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.percentile_approx("o_totalprice", 0.5, 10000), 4).alias("p50_approx"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50_exact"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
     "pivot_event_matrix",
     sql="""
     SELECT user_id % 10 AS user_bucket,

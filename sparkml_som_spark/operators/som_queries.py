@@ -76,6 +76,36 @@ def som_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "som_quantization_error",
+    sql=None,  # iterative ML -> rows-only check
+    desc="per-cell quantization error via the distanceCol extension",
+)
+def som_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell mean/max squared distance to the prototype — the
+    model-quality view a SOM user reads. Uses distanceCol so prediction
+    and distance come from one kernel pass."""
+    model, emb = fit_default_som(spark, sf_dir)
+    model.setDistanceCol("d2")
+    try:
+        preds = model.transform(emb).select("prediction", "d2").persist()
+        from sparkml_som_spark.operators.registry import materialize_small
+
+        result = (
+            preds.groupBy("prediction")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.round(F.avg("d2"), 4).alias("avg_d2"),
+                F.round(F.max("d2"), 4).alias("max_d2"),
+            )
+            .select(F.col("prediction").alias("cell"), "n_rows", "avg_d2", "max_d2")
+            .orderBy("cell")
+        )
+        return materialize_small(result, cleanup=(preds,))
+    finally:
+        model.setDistanceCol("")  # the cached model is shared across queries
+
+
+@register(
     "som_count_invariant",
     sql="SELECT COUNT(*) AS n_rows FROM embeddings",
     desc="SOM transform preserves row count (oracle-checkable invariant)",
