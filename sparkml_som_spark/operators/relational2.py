@@ -79,6 +79,33 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "from_json_events_struct",
+    sql="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT)      AS k,
+           CAST(json_extract_string(props, '$.k') AS INT) % 7  AS k_mod
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INT) > 80
+    """,
+    desc="from_json schema parse -> struct field access + filter",
+)
+def from_json_events_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON: from_json parses once into a typed struct
+    (vs get_json_object re-parsing per extraction) — the right call when
+    several fields are pulled from the same JSON column at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json("props", "k INT"))
+    return (
+        parsed.where(F.col("p.k") > 80)
+        .select(
+            "event_id",
+            F.col("p.k").alias("k"),
+            (F.col("p.k") % 7).alias("k_mod"),
+        )
+    )
+
+
+@register(
     "approx_percentile_prices",
     sql=None,  # t-digest/GK sketches are engine-specific -> rows-only
     desc="approx_percentile sketch vs exact percentile per order status",
