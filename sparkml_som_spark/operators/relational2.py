@@ -25,16 +25,18 @@ from sparkml_som_spark.sources import load_table
 )
 def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("lineitem")
-    # SQL-text path on purpose: exercises the parser front end too
+    # SQL-text path on purpose: exercises the parser front end too.
+    # DataFrame template arg instead of a temp view — registering a view
+    # named "lineitem" would shadow any same-named view the harness owns.
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 4) AS sum_qty,
                COUNT(*)                  AS n
-        FROM lineitem
+        FROM {li}
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        """
+        """,
+        li=li,
     )
 
 
@@ -229,23 +231,26 @@ def correlated_subquery_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cte_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same SQL text runs on both engines — demonstrates the spark.sql
-    front end over the registered star-schema views."""
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    front end. Tables are passed as DataFrame template args rather than
+    temp views so we never shadow harness-owned view names."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
     return spark.sql(
         """
         WITH big_orders AS (
             SELECT o_custkey, o_totalprice
-            FROM orders
+            FROM {orders}
             WHERE o_totalprice > 250000
         )
         SELECT c_mktsegment,
                COUNT(*)                    AS n_big_orders,
                ROUND(SUM(o_totalprice), 4) AS big_value
         FROM big_orders
-        JOIN customer ON c_custkey = o_custkey
+        JOIN {customer} ON c_custkey = o_custkey
         GROUP BY c_mktsegment
-        """
+        """,
+        orders=orders,
+        customer=customer,
     )
 
 

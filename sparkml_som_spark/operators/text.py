@@ -126,27 +126,37 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(length(text) - 2, 1)),"
-                " i -> substring(lower(text), i, 3))"
-            )
-        ).alias("g"),
-    ).persist()  # read twice (profile build + doc scoring); avoid re-exploding
+    # One explode + ONE wide aggregation to per-doc trigram counts; the
+    # per-lang profile is then a second, much smaller aggregation over
+    # doc_grams (instead of re-aggregating the raw exploded trigrams,
+    # which the old shape persisted and scanned twice). doc_id -> lang is
+    # functional, so carrying lang through the groupBy adds no groups.
+    doc_grams = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(length(text) - 2, 1)),"
+                    " i -> substring(lower(text), i, 3))"
+                )
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "lang", "g")
+        .agg(F.count("*").alias("dcnt"))
+        .persist()
+    )
     prof_w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("g"))
     profile = (
-        grams.groupBy("lang", "g")
-        .agg(F.count("*").alias("cnt"))
+        doc_grams.groupBy("lang", "g")
+        .agg(F.sum("dcnt").alias("cnt"))
         .withColumn("rk", F.row_number().over(prof_w))
         .where(F.col("rk") <= 50)
         .select("lang", "g")
     )
-    doc_grams = grams.groupBy("doc_id", "g").agg(F.count("*").alias("dcnt"))
     scores = (
-        doc_grams.join(F.broadcast(profile), "g")
+        doc_grams.drop("lang")  # score every doc against every profile lang
+        .join(F.broadcast(profile), "g")
         .groupBy("doc_id", "lang")
         .agg(F.sum("dcnt").alias("score"))
     )
@@ -157,7 +167,7 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         scores.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") == 1)
         .select("doc_id", F.col("lang").alias("predicted_lang"), "score"),
-        cleanup=(grams,),
+        cleanup=(doc_grams,),
     )
 
 
@@ -183,12 +193,13 @@ def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkml_som_spark.functions.udtfs import register_udtfs
 
     register_udtfs(spark)
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    docs = load_table(spark, sf_dir, "documents")
     return spark.sql(
         """
         SELECT doc_id, c.chunk_idx, c.chunk, c.n_tokens
-        FROM documents, LATERAL chunk_text(text, 20) AS c
-        """
+        FROM {docs}, LATERAL chunk_text(text, 20) AS c
+        """,
+        docs=docs,
     )
 
 
