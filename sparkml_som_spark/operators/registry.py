@@ -60,6 +60,7 @@ def load_all() -> dict[str, QuerySpec]:
     import sparkml_som_spark.operators.dedup  # noqa: F401
     import sparkml_som_spark.operators.relational  # noqa: F401
     import sparkml_som_spark.operators.relational2  # noqa: F401
+    import sparkml_som_spark.operators.relational3  # noqa: F401
     import sparkml_som_spark.operators.similarity  # noqa: F401
     import sparkml_som_spark.operators.som_queries  # noqa: F401
     import sparkml_som_spark.operators.stats  # noqa: F401

@@ -288,13 +288,18 @@ def join_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT c_custkey, c_mktsegment
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 350000)
     """,
     desc="left-anti join (NOT EXISTS)",
 )
 def join_anti_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no order above 350k. (Every testdata customer has
+    at least one order, so the unconditioned NOT EXISTS matched zero
+    rows on both engines — a vacuous check.)"""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 350000)
     return cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_mktsegment")

@@ -118,3 +118,56 @@ def test_langid_shape_and_determinism(spark, registry):
     rows = df.collect()
     assert len(rows) == 500  # one prediction per doc
     assert set(df.columns) == {"doc_id", "predicted_lang", "score"}
+
+
+def test_sessionize_conserves_events_and_durations(spark, registry):
+    df = registry["sessionize_lag_gaps"].fn(spark, SF)
+    rows = df.collect()
+    from sparkml_som_spark.sources import load_table
+
+    assert sum(r["n_events"] for r in rows) == load_table(spark, SF, "events").count()
+    assert all(r["dur_s"] >= 0 for r in rows)
+    # single-event sessions must have zero duration
+    assert all(r["dur_s"] == 0 for r in rows if r["n_events"] == 1)
+
+
+def test_gapfill_spine_is_complete(spark, registry):
+    rows = registry["gapfill_daily_revenue"].fn(spark, SF).collect()
+    assert len(rows) == 90  # Jan 1 .. Mar 31 1995, no gaps
+    days = sorted(r["day"] for r in rows)
+    assert (days[-1] - days[0]).days == 89
+    # gap-filled days carry zeros, not nulls
+    assert all(r["revenue"] is not None and r["n_orders"] is not None for r in rows)
+
+
+def test_nullsafe_join_keeps_null_group(spark, registry):
+    rows = registry["nullsafe_join_flags"].fn(spark, SF).collect()
+    keys = {r["k"] for r in rows}
+    assert None in keys  # the whole point: NULL == NULL under <=>
+    assert len(rows) == 3  # A, R, and the nulled-out N group
+
+
+def test_except_all_multiset_arithmetic(spark, registry):
+    """exceptAll row count must equal sum over q of max(0, cnt_R - cnt_A)."""
+    from sparkml_som_spark.sources import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    q = F.col("l_quantity").cast("int").alias("q")
+    cnt = (
+        li.groupBy(q, "l_returnflag")
+        .count()
+        .groupBy("q")
+        .pivot("l_returnflag", ["R", "A"])
+        .sum("count")
+        .fillna(0)
+        .collect()
+    )
+    expected = sum(max(0, r["R"] - r["A"]) for r in cnt)
+    got = registry["set_except_all_qty"].fn(spark, SF).count()
+    assert got == expected
+
+
+def test_trailing_window_includes_current_row(spark, registry):
+    rows = registry["window_trailing_7d"].fn(spark, SF).limit(500).collect()
+    # trailing sum always includes the current order -> strictly positive
+    assert all(r["trailing_7d"] > 0 for r in rows)
