@@ -8,8 +8,11 @@ Two paths, as a real vector engine would ship them:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from sparkml_som_spark.functions import cosine
 from sparkml_som_spark.operators.registry import register
@@ -125,4 +128,80 @@ def ann_ivf_som(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", F.round("cos_raw", 4).alias("cos_sim"))
+    )
+
+
+@register(
+    "ann_lsh_hyperplane",
+    sql=None,  # random-hyperplane signatures are not SQL-expressible -> rows-only
+    desc="LSH ANN: random-hyperplane cosine sketch, banded bucket join + exact verify",
+)
+def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH (SimHash-for-vectors): sign(v @ R) gives a
+    16-bit sketch whose bit-agreement estimates cosine; 4 bands x 4 bits
+    generate candidates via an equi-join on (band, 4-bit bucket), then
+    exact cosine re-ranks. Complements ann_ivf_som: LSH needs no
+    training pass, IVF adapts to the data distribution.
+
+    Scale: signatures come from ONE GEMM per Arrow batch (pandas_udf,
+    vectorized); the bucket join is an equi-join whose fan-out is bounded
+    by band-bucket collision counts — never an all-pairs product.
+    """
+    n_bits, n_bands, band_bits = 32, 8, 4
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dim = len(emb.select("v").first()["v"])
+    planes = np.random.default_rng(7).standard_normal((dim, n_bits))
+    bc_planes = spark.sparkContext.broadcast(planes)
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+
+    @pandas_udf("long")
+    def sig_udf(vs: pd.Series) -> pd.Series:
+        R = bc_planes.value
+        M = np.stack([np.asarray(x, dtype=np.float64) for x in vs])
+        bits = (M @ R) > 0  # (batch, n_bits) — one GEMM per Arrow batch
+        return pd.Series((bits * weights).sum(axis=1))
+
+    signed = emb.withColumn("sig", sig_udf("v"))
+    band_mask = (1 << band_bits) - 1
+    buckets = signed.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sig"), b * band_bits)
+                        .bitwiseAND(F.lit(band_mask))
+                        .alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "v", "bk.band", "bk.bucket")
+
+    qb = (
+        buckets.where(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "band", "bucket")
+    )
+    cand = (
+        buckets.join(F.broadcast(qb), ["band", "bucket"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qv", F.col("vec_id").alias("neighbor_id"), "v")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("v")).alias("cos_raw")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    from sparkml_som_spark.operators.registry import materialize_small
+
+    return materialize_small(
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_raw", 4).alias("cos_sim")),
+        cleanup=(bc_planes,),
     )

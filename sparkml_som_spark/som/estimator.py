@@ -70,6 +70,11 @@ def _batch_matrix(series: pd.Series) -> np.ndarray:
 class SOM(Estimator, SOMParams):
     """Spark ML Estimator for Kohonen's batch SOM (reference `SOM.scala:38`)."""
 
+    # Training matrices at or below this size are collected to the driver
+    # once and iterated locally (same kernel, no per-iteration Spark job).
+    # Class attribute so tests can force either path.
+    _LOCAL_FIT_BYTES: int = 256 << 20
+
     @keyword_only
     def __init__(self, **kwargs) -> None:
         super().__init__()
@@ -163,33 +168,24 @@ class SOM(Estimator, SOMParams):
         t_max, t_min = self.getTMax(), self.getTMin()
 
         feats = _features_as_array(dataset, self.getOrDefault(self.featuresCol))
-        # persist iff the caller didn't (reference SOM.scala:82,88-90)
-        handle_persistence = dataset.storageLevel == StorageLevel.NONE
-        if handle_persistence:
-            feats.persist(StorageLevel.MEMORY_AND_DISK)
+        # Persist the narrow feature projection unconditionally (the
+        # reference's "iff caller didn't" guard, SOM.scala:82,88-90,
+        # checked the input dataset — but fit makes several passes over
+        # the *projection* (count, seeded takeSample, block build), and
+        # each pass re-decodes rows unless feats itself is cached).
+        feats.persist(StorageLevel.MEMORY_AND_DISK)
 
-        # Decode each partition to ONE dense NumPy block and persist that:
-        # the per-iteration job then runs pure GEMM over cached ndarrays
-        # with no Arrow/pickle decode in the loop (the "treeAggregate on
-        # NumPy blocks" variant from SURVEY.md §3 — DataFrame mapInPandas
-        # paid ~2x per-iteration overhead re-decoding the same rows).
+        # Decode each partition to ONE dense NumPy block: per-iteration
+        # work is then pure GEMM over ndarrays with no Arrow/pickle
+        # decode in the loop (the "treeAggregate on NumPy blocks" variant
+        # from SURVEY.md §3 — DataFrame mapInPandas paid ~2x
+        # per-iteration overhead re-decoding the same rows).
         def _to_block(rows):
             buf = [r[0] for r in rows]
             if buf:
                 yield np.asarray(buf, dtype=np.float64)
 
-        blocks = feats.rdd.mapPartitions(_to_block)
-        # Right-size parallelism to the data: each training job pays a
-        # fixed per-task scheduling cost, so small datasets spread over
-        # many partitions are overhead-bound (100 iterations x 32 nearly
-        # empty tasks). Coalesce (no shuffle) toward ~100k rows per
-        # block; large data keeps its layout.
         n_rows = feats.count()
-        n_parts = blocks.getNumPartitions()
-        target = max(1, min(n_parts, n_rows // 100_000 + 1))
-        if target < n_parts:
-            blocks = blocks.coalesce(target)
-        blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
 
         if self._initial_model is not None:
             codebook = self._initial_model.prototypes.astype(np.float64).copy()
@@ -212,38 +208,73 @@ class SOM(Estimator, SOMParams):
         # per iteration so executors fetch them a single time.
         use_broadcast = codebook.nbytes >= 1 << 20
 
+        # Small-data fast path: when the full training matrix fits easily
+        # on the driver, collect the decoded blocks ONCE and run every
+        # iteration as pure local NumPy — the math is the identical
+        # kernel call; what disappears is max_iter job launches, each a
+        # fixed scheduling cost that dominates sub-second aggregations.
+        # Above the threshold the distributed aggregate/treeAggregate
+        # path below runs unchanged (the 100 TB path; per-iteration
+        # driver traffic stays one (n_cells, dim) array either way).
+        local_matrix: np.ndarray | None = None
+        blocks = None
+        if n_rows * dim * 8 <= self._LOCAL_FIT_BYTES:
+            collected = feats.rdd.mapPartitions(_to_block).collect()
+            if collected:
+                local_matrix = (
+                    collected[0] if len(collected) == 1 else np.vstack(collected)
+                )
+        if local_matrix is None:
+            # Right-size parallelism to the data: each training job pays a
+            # fixed per-task scheduling cost, so datasets spread over many
+            # small partitions are overhead-bound. Coalesce (no shuffle)
+            # toward ~100k rows per block; large data keeps its layout.
+            blocks = feats.rdd.mapPartitions(_to_block)
+            n_parts = blocks.getNumPartitions()
+            target = max(1, min(n_parts, n_rows // 100_000 + 1))
+            if target < n_parts:
+                blocks = blocks.coalesce(target)
+            blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
+
         while it < max_iter and not converged:
             temp = K.temperature(it, max_iter, t_max, t_min, decay)
-            bc = sc.broadcast(codebook) if use_broadcast else None
-            cb_direct = None if use_broadcast else codebook
-
-            def seq_op(acc, block, _bc=bc, _cb=cb_direct, _n=n_cells):
-                cb = np.ascontiguousarray(_bc.value if _bc is not None else _cb)
+            if local_matrix is not None:
+                cb = np.ascontiguousarray(codebook)
                 cn2 = np.einsum("ij,ij->i", cb, cb)
-                s, c, co = K.partial_aggregate(block, cb, _n, cn2)
-                return (acc[0] + s, acc[1] + c, acc[2] + co)
-
-            def comb_op(a, b):
-                return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
-
-            zero = (
-                np.zeros((n_cells, dim), dtype=np.float64),
-                np.zeros(n_cells, dtype=np.int64),
-                0.0,
-            )
-            # Partial aggregation per partition (reference mapPartitions,
-            # SOM.scala:192-209) + combine (the bounded reduceByKey analog,
-            # SOM.scala:209-212). Single-stage aggregate while the driver
-            # fan-in is small; tree combine (depth 2, O(sqrt(P)) fan-in)
-            # once partition count would swamp the driver — the extra
-            # stage costs a full job-launch latency, so it must not be
-            # paid on small clusters.
-            if blocks.getNumPartitions() <= 256:
-                sums, counts, cost = blocks.aggregate(zero, seq_op, comb_op)
+                sums, counts, cost = K.partial_aggregate(
+                    local_matrix, cb, n_cells, cn2
+                )
             else:
-                sums, counts, cost = blocks.treeAggregate(zero, seq_op, comb_op, depth=2)
-            if bc is not None:
-                bc.destroy()
+                bc = sc.broadcast(codebook) if use_broadcast else None
+                cb_direct = None if use_broadcast else codebook
+
+                def seq_op(acc, block, _bc=bc, _cb=cb_direct, _n=n_cells):
+                    cb = np.ascontiguousarray(_bc.value if _bc is not None else _cb)
+                    cn2 = np.einsum("ij,ij->i", cb, cb)
+                    s, c, co = K.partial_aggregate(block, cb, _n, cn2)
+                    return (acc[0] + s, acc[1] + c, acc[2] + co)
+
+                def comb_op(a, b):
+                    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+                zero = (
+                    np.zeros((n_cells, dim), dtype=np.float64),
+                    np.zeros(n_cells, dtype=np.int64),
+                    0.0,
+                )
+                # Partial aggregation per partition (reference mapPartitions,
+                # SOM.scala:192-209) + combine (the bounded reduceByKey analog,
+                # SOM.scala:209-212). Single-stage aggregate while the driver
+                # fan-in is small; tree combine (depth 2, O(sqrt(P)) fan-in)
+                # once partition count would swamp the driver — the extra
+                # stage costs a full job-launch latency, so it must not be
+                # paid on small clusters.
+                if blocks.getNumPartitions() <= 256:
+                    sums, counts, cost = blocks.aggregate(zero, seq_op, comb_op)
+                else:
+                    sums, counts, cost = blocks.treeAggregate(zero, seq_op, comb_op, depth=2)
+                if bc is not None:
+                    bc.destroy()
 
             weights = K.neighborhood(grid_d, temp, kern)
             new_codebook = K.smooth_update(codebook, sums, counts, weights)
@@ -272,9 +303,9 @@ class SOM(Estimator, SOMParams):
             training_cost=history[-1] if history else float("nan"),
             objective_history=history,
         )
-        blocks.unpersist()
-        if handle_persistence:
-            feats.unpersist()
+        if blocks is not None:
+            blocks.unpersist()
+        feats.unpersist()
         return model
 
 

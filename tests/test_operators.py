@@ -171,3 +171,16 @@ def test_trailing_window_includes_current_row(spark, registry):
     rows = registry["window_trailing_7d"].fn(spark, SF).limit(500).collect()
     # trailing sum always includes the current order -> strictly positive
     assert all(r["trailing_7d"] > 0 for r in rows)
+
+
+def test_lsh_hyperplane_recall(spark, registry):
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in registry["ann_topk_bruteforce"].fn(spark, SF).collect()
+    }
+    lsh = {
+        (r["query_id"], r["neighbor_id"])
+        for r in registry["ann_lsh_hyperplane"].fn(spark, SF).collect()
+    }
+    recall = len(brute & lsh) / len(brute)
+    assert recall >= 0.5, f"LSH recall {recall} too low"  # 8 bands x 4 bits

@@ -200,3 +200,31 @@ def test_pipeline_compat(spark, small_df):
     pipe = Pipeline(stages=[SOM(height=2, width=2, maxIter=2, seed=1)])
     pm = pipe.fit(small_df)
     assert pm.transform(small_df).count() == 400
+
+
+def test_local_and_distributed_fit_paths_agree(spark):
+    """The small-data driver-local loop must produce the same model as
+    the distributed aggregate path (identical kernel math; only the
+    float summation grouping differs)."""
+    import numpy as np
+
+    from sparkml_som_spark.som import SOM
+
+    rng = np.random.default_rng(3)
+    df = spark.createDataFrame(
+        [(row.tolist(),) for row in rng.random((400, 4))], "features array<double>"
+    ).repartition(4).cache()
+    df.count()
+
+    kwargs = dict(height=3, width=3, maxIter=8, seed=11)
+    local = SOM(**kwargs).fit(df)
+
+    class DistributedSOM(SOM):
+        _LOCAL_FIT_BYTES = 0  # force the aggregate/treeAggregate path
+
+    dist = DistributedSOM(**kwargs).fit(df)
+    assert np.allclose(local.prototypes, dist.prototypes, atol=1e-9)
+    assert np.allclose(
+        local.summary.objective_history, dist.summary.objective_history, atol=1e-9
+    )
+    df.unpersist()
