@@ -74,3 +74,18 @@ def run_stream_to_memory(stream_df: DataFrame, table_name: str, mode: str = "com
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_stream(stream: DataFrame, keys: list[str] | None = None, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: keep the first arrival of each key within
+    the watermark horizon (`dropDuplicatesWithinWatermark`), so state is
+    bounded by the horizon instead of growing with the whole stream —
+    the ingest-side dedup stage of an LLM data pipeline (batch twin:
+    `dedup_exact_groups` semantics on the same key).
+
+    `dropDuplicates` without a watermark would keep every key ever seen
+    in the state store; within-watermark is the only shape that
+    survives an unbounded 100 TB/day firehose.
+    """
+    keys = keys or ["event_id"]
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

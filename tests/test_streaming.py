@@ -75,3 +75,30 @@ def test_sliding_stream_matches_batch(spark, event_stream):
         .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
     )
     assert _as_sets(got) == _as_sets(want)
+
+
+def test_stream_dedup_drops_replayed_batch(spark, tmp_path):
+    """Write the same events file twice (a replayed micro-batch); the
+    deduped stream must contain each event_id exactly once."""
+    import pyspark.sql.functions as F
+
+    from sparkml_som_spark.streaming.windows import dedup_stream
+
+    src = str(tmp_path / "dup_events")
+    ev = load_table(spark, SF, "events").limit(200).cache()
+    n_unique = ev.count()
+    ev.write.mode("overwrite").parquet(src)
+    # duplicate every row by appending the same rows as new files
+    ev.write.mode("append").parquet(src)
+
+    batch = spark.read.parquet(src)
+    assert batch.count() == 2 * n_unique  # precondition: duplicates exist
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+
+    q = run_stream_to_memory(dedup_stream(stream), "t_dedup", mode="append")
+    q.awaitTermination(120)
+    q.stop()
+    got = spark.sql("SELECT event_id, COUNT(*) AS n FROM t_dedup GROUP BY event_id")
+    assert got.count() == n_unique
+    assert got.agg(F.max("n")).first()[0] == 1
+    ev.unpersist()
