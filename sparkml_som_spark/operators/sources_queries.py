@@ -1,0 +1,107 @@
+"""Non-parquet source coverage under the oracle gate.
+
+Round 1 shipped csv/json/orc readers (`sources.read_any`/`write_any`)
+with unit round-trip tests, but no registry query exercised them — the
+driver's gate never touched the non-parquet scan path.  These entries
+close that: write a deterministic slice of a base table to csv / json
+under a repo-local scratch dir, read it back through ``read_any``, and
+aggregate.  The oracle computes the same aggregate from the parquet
+view — if the round-trip is lossless (types chosen so csv/json
+inference is stable) the results hash-match.
+
+Reference parity: the reference reads its demo data from text files
+(SOMDriver main workload); this engine's generic source dispatch is the
+Spark-native equivalent surface.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkml_som_spark.operators.registry import register
+from sparkml_som_spark.sources import load_table, read_any, write_any
+
+# Repo-local scratch (never under /root/testdata or /root/reference);
+# .gitignore'd.  Keyed by sf_dir basename so sf0.01 and sf0.1 runs in
+# one session don't clobber each other.
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    return os.path.join(_SCRATCH, os.path.basename(os.path.normpath(sf_dir)), name)
+
+
+@register(
+    "source_csv_lineitem",
+    sql="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(l_quantity), 4) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 4) AS sum_price
+    FROM lineitem
+    WHERE l_orderkey <= 4000
+    GROUP BY l_returnflag
+    """,
+    desc="csv reader path: write slice, read back via read_any, aggregate",
+)
+def source_csv_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip: slice lineitem -> csv -> read_any -> aggregate.
+
+    Column types are chosen so header+inferSchema reads back losslessly
+    (ints and doubles only — no dates/decimals, whose csv inference is
+    version-sensitive).  The aggregate matches the oracle run directly
+    on the parquet view, proving the csv scan path end-to-end.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    slice_df = li.filter(F.col("l_orderkey") <= 4000).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    path = _scratch(sf_dir, "lineitem_csv")
+    write_any(slice_df, path, fmt="csv")
+    back = read_any(spark, path, fmt="csv")
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "source_json_orders",
+    sql="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS sum_total
+    FROM orders
+    WHERE o_orderkey <= 4000
+    GROUP BY o_orderpriority
+    """,
+    desc="json reader path: write slice, read back via read_any, aggregate",
+)
+def source_json_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines round-trip: slice orders -> json -> read_any -> aggregate.
+
+    JSON preserves longs and doubles exactly; strings pass through.
+    Dates are excluded (JSON stringifies them; schema inference would
+    read them back as strings and silently change the type).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    slice_df = o.filter(F.col("o_orderkey") <= 4000).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = _scratch(sf_dir, "orders_json")
+    write_any(slice_df, path, fmt="json")
+    back = read_any(spark, path, fmt="json")
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("sum_total"),
+        )
+    )
