@@ -257,33 +257,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_embedding_cosine",
-    sql="""
-    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim
-    FROM embeddings a
-    JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95
-    """,
-    desc="embedding near-dup pairs: cosine >= 0.95",
-)
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Gate for the exact broadcast-GEMM path: the normalized corpus matrix
+# (n * d * 8 bytes) must fit comfortably on the driver AND each
+# executor.  Same shape as SOM._LOCAL_FIT_BYTES.
+_LOCAL_MATRIX_BYTES = 256 << 20
+
+
+def _cosine_pairs_broadcast_gemm(emb: DataFrame, threshold: float) -> DataFrame:
     """Exact all-pairs cosine, vectorized: the corpus matrix is broadcast
     (row-normalized float64) and each Arrow batch does ONE GEMM against
     it — n/batch GEMMs total instead of n^2 expression-tree folds.
-
-    Scale: broadcast works while the corpus fits an executor (n*d*8
-    bytes); beyond that the 100 TB path is LSH bucketing / the SOM-IVF
-    coarse quantizer (similarity.py) — exact all-pairs is inherently
-    O(n^2) and this entry exists to pin the exact semantics the oracle
-    can check."""
+    Caller has verified the corpus fits `_LOCAL_MATRIX_BYTES`."""
     import numpy as np
     import pandas as pd
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    spark = emb.sparkSession
     rows = emb.collect()
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     M = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
@@ -301,20 +289,99 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             bm = bm / np.linalg.norm(bm, axis=1, keepdims=True)
             bids = pdf["vec_id"].to_numpy()
             sims = bm @ all_m.T  # (batch, corpus)
-            keep = (sims >= 0.95) & (bids[:, None] < all_ids[None, :])
+            keep = (sims >= threshold) & (bids[:, None] < all_ids[None, :])
             bi, ci = np.nonzero(keep)
             if len(bi):
                 yield pd.DataFrame(
                     {"a_id": bids[bi], "b_id": all_ids[ci], "cos_raw": sims[bi, ci]}
                 )
 
-    from sparkml_som_spark.operators.registry import materialize_small
+    from sparkml_som_spark.operators.registry import materialize_distributed
 
-    # materialize the (small) pair set so the corpus broadcast can be
-    # destroyed instead of living for the rest of the session
-    return materialize_small(
+    # materialize the pair set on the executors so the corpus broadcast
+    # can be destroyed instead of living for the rest of the session
+    return materialize_distributed(
         emb.mapInPandas(gemm_pairs, schema=out_schema).select(
             "a_id", "b_id", F.round("cos_raw", 4).alias("cos_sim")
         ),
         cleanup=(bc,),
     )
+
+
+def _cosine_pairs_lsh(emb: DataFrame, dim: int, threshold: float) -> DataFrame:
+    """Distributed near-dup path: hyperplane-LSH band buckets generate
+    candidate pairs (equi-join, never all-pairs), exact JVM-side cosine
+    verifies.  No corpus-sized driver or broadcast state — the only
+    broadcast is the (dim, 32) plane matrix (~KBs).
+
+    Recall at threshold 0.95 with 8 bands x 4 bits:
+    p_bit = 1 - arccos(0.95)/pi = 0.899, band hit = 0.899^4 = 0.65,
+    any-of-8 = 1 - 0.35^8 > 0.999 — and verification removes all false
+    positives, so output matches exact up to that recall."""
+    from sparkml_som_spark.functions import cosine
+    from sparkml_som_spark.operators.similarity import hyperplane_buckets
+
+    buckets, _bc_planes = hyperplane_buckets(
+        emb, dim, n_bits=32, n_bands=8, band_bits=4, seed=11
+    )
+    b = buckets.select("vec_id", "band", "bucket")
+    cand = (
+        b.alias("x")
+        .join(
+            b.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("a_id"), F.col("y.vec_id").alias("b_id"))
+        .distinct()
+    )
+    va = emb.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
+        .select("a_id", "b_id", cosine(F.col("va"), F.col("vb")).alias("cos_raw"))
+        .where(F.col("cos_raw") >= threshold)
+        .select("a_id", "b_id", F.round("cos_raw", 4).alias("cos_sim"))
+    )
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    max_local_bytes: int = _LOCAL_MATRIX_BYTES,
+) -> DataFrame:
+    """Near-duplicate pairs (cosine >= threshold) over (vec_id, v).
+
+    Size-gated: when the normalized corpus matrix (n*d*8 bytes) fits
+    `max_local_bytes`, run the exact broadcast-GEMM path; above the gate,
+    fail over to the LSH-bucketed candidate path — no unconditional
+    driver collect, so a 100 TB corpus never OOMs the driver."""
+    first = emb.select(F.size("v").alias("d")).first()
+    dim = int(first["d"]) if first else 0
+    n = emb.count()
+    if n * dim * 8 <= max_local_bytes:
+        return _cosine_pairs_broadcast_gemm(emb, threshold)
+    return _cosine_pairs_lsh(emb, dim, threshold)
+
+
+@register(
+    "dedup_embedding_cosine",
+    sql="""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95
+    """,
+    desc="embedding near-dup pairs: cosine >= 0.95, size-gated exact/LSH",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs; exact semantics the oracle can check at
+    test scale (the gate keeps testdata on the exact path), LSH failover
+    beyond the gate."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return embedding_cosine_pairs(emb)

@@ -33,10 +33,27 @@ def materialize_small(df: DataFrame, cleanup: tuple = ()) -> DataFrame:
     Queries that persist an intermediate for multi-action summaries
     would otherwise leak cache for the rest of the session (the caller
     collects after we return, so there is no later unpersist point).
-    Only use when the result is bounded (grid cells, top-k, per-doc
-    rows) — it pins the result on the driver."""
+    Only use when the result is PROVABLY bounded (grid cells, top-k) —
+    it pins the result on the driver; for per-doc / per-pair results use
+    `materialize_distributed`."""
     spark = df.sparkSession
     rows = df.collect()
+    _release(cleanup)
+    return spark.createDataFrame(rows, df.schema)
+
+
+def materialize_distributed(df: DataFrame, cleanup: tuple = ()) -> DataFrame:
+    """Pin a result on the EXECUTORS (eager localCheckpoint) so held
+    caches / broadcasts can be released, without collecting unbounded
+    rows to the driver.  The checkpointed blocks are bounded by the
+    result size and spread across the cluster — the scale-safe twin of
+    `materialize_small` for per-doc / per-pair outputs."""
+    out = df.localCheckpoint(eager=True)
+    _release(cleanup)
+    return out
+
+
+def _release(cleanup: tuple) -> None:
     for h in cleanup:
         # Broadcast has both destroy and unpersist — destroy is the full
         # release; DataFrames only have unpersist
@@ -44,7 +61,6 @@ def materialize_small(df: DataFrame, cleanup: tuple = ()) -> DataFrame:
             h.destroy()
         elif hasattr(h, "unpersist"):
             h.unpersist()
-    return spark.createDataFrame(rows, df.schema)
 
 
 def register(name: str, sql: str | None = None, desc: str = ""):

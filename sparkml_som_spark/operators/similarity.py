@@ -22,6 +22,58 @@ N_QUERIES = 5
 TOP_K = 10
 
 
+def hyperplane_buckets(
+    emb: DataFrame,
+    dim: int,
+    n_bits: int = 32,
+    n_bands: int = 8,
+    band_bits: int = 4,
+    seed: int = 7,
+):
+    """Random-hyperplane cosine sketches, exploded into (band, bucket)
+    rows for LSH candidate generation.
+
+    Returns ``(buckets, bc_planes)`` where buckets has columns
+    (vec_id, v, band, bucket) and ``bc_planes`` is the broadcast of the
+    (dim, n_bits) plane matrix — tiny, independent of corpus size — the
+    caller destroys when done.  Signatures come from ONE GEMM per Arrow
+    batch; the only per-row JVM work is bit slicing.  Shared by the ANN
+    query and the embedding near-dup failover path.
+    """
+    spark = emb.sparkSession
+    planes = np.random.default_rng(seed).standard_normal((dim, n_bits))
+    bc_planes = spark.sparkContext.broadcast(planes)
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+
+    @pandas_udf("long")
+    def sig_udf(vs: pd.Series) -> pd.Series:
+        R = bc_planes.value
+        M = np.stack([np.asarray(x, dtype=np.float64) for x in vs])
+        bits = (M @ R) > 0  # (batch, n_bits) — one GEMM per Arrow batch
+        return pd.Series((bits * weights).sum(axis=1))
+
+    signed = emb.withColumn("sig", sig_udf("v"))
+    band_mask = (1 << band_bits) - 1
+    buckets = signed.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sig"), b * band_bits)
+                        .bitwiseAND(F.lit(band_mask))
+                        .alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "v", "bk.band", "bk.bucket")
+    return buckets, bc_planes
+
+
 @register(
     "ann_topk_bruteforce",
     sql=f"""
@@ -82,16 +134,17 @@ def ann_ivf_som(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the corpus is partitioned by cell once (one shuffle);
     each query touches nprobe buckets, i.e. work scales with
     corpus/n_cells * nprobe instead of the full corpus.
+
+    Reuses the session-cached 5x5 SOM from `fit_default_som` — the IVF
+    partition quality only improves with the finer grid, and the fit
+    cost is amortized across every SOM-backed query in the session.
     """
     import numpy as np
 
-    from sparkml_som_spark.som import SOM
+    from sparkml_som_spark.operators.som_queries import fit_default_som
 
-    nprobe = 4
-    emb = load_table(spark, sf_dir, "embeddings")
-    model = SOM(
-        height=3, width=3, maxIter=5, seed=42, featuresCol="embedding", tMax=2.0, tMin=0.5
-    ).fit(emb)
+    nprobe = 6
+    model, emb = fit_default_som(spark, sf_dir)
     assigned = model.transform(emb).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"), F.col("prediction").alias("cell")
     )
@@ -138,7 +191,7 @@ def ann_ivf_som(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH (SimHash-for-vectors): sign(v @ R) gives a
-    16-bit sketch whose bit-agreement estimates cosine; 4 bands x 4 bits
+    32-bit sketch whose bit-agreement estimates cosine; 8 bands x 4 bits
     generate candidates via an equi-join on (band, 4-bit bucket), then
     exact cosine re-ranks. Complements ann_ivf_som: LSH needs no
     training pass, IVF adapts to the data distribution.
@@ -147,41 +200,11 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectorized); the bucket join is an equi-join whose fan-out is bounded
     by band-bucket collision counts — never an all-pairs product.
     """
-    n_bits, n_bands, band_bits = 32, 8, 4
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     dim = len(emb.select("v").first()["v"])
-    planes = np.random.default_rng(7).standard_normal((dim, n_bits))
-    bc_planes = spark.sparkContext.broadcast(planes)
-    weights = (1 << np.arange(n_bits)).astype(np.int64)
-
-    @pandas_udf("long")
-    def sig_udf(vs: pd.Series) -> pd.Series:
-        R = bc_planes.value
-        M = np.stack([np.asarray(x, dtype=np.float64) for x in vs])
-        bits = (M @ R) > 0  # (batch, n_bits) — one GEMM per Arrow batch
-        return pd.Series((bits * weights).sum(axis=1))
-
-    signed = emb.withColumn("sig", sig_udf("v"))
-    band_mask = (1 << band_bits) - 1
-    buckets = signed.select(
-        "vec_id",
-        "v",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("sig"), b * band_bits)
-                        .bitwiseAND(F.lit(band_mask))
-                        .alias("bucket"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("vec_id", "v", "bk.band", "bk.bucket")
+    buckets, bc_planes = hyperplane_buckets(emb, dim, n_bits=32, n_bands=8, band_bits=4, seed=7)
 
     qb = (
         buckets.where(F.col("vec_id") < N_QUERIES)

@@ -29,8 +29,12 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join `large` with `small` on column `on`, salted to spread
     hot keys. `small` is replicated n_salts x — keep it the dimension
-    side. The salt uses a deterministic hash of a unique-ish row hash
-    rather than rand() so the result is reproducible.
+    side. The salt mixes the key with spark_partition_id() and
+    monotonically_increasing_id() — deterministic for a fixed task
+    layout (no rand()), yet FULLY duplicate rows (the common shape of a
+    pathological hot key) still fan out across salts; a salt hashed from
+    row values alone would send all copies to one bucket and spread
+    nothing.  Works for any column types (no xxhash64 over maps).
 
     Only left-shaped joins are supported: with the small side exploded
     n_salts times, right/full outer would emit spurious null-padded
@@ -41,7 +45,11 @@ def salted_join(
             "right/full outer joins would duplicate unmatched small-side rows"
         )
     salted_large = large.withColumn(
-        "__salt", F.pmod(F.xxhash64(*large.columns), F.lit(n_salts)).cast("int")
+        "__salt",
+        F.pmod(
+            F.xxhash64(F.col(on), F.spark_partition_id(), F.monotonically_increasing_id()),
+            F.lit(n_salts),
+        ).cast("int"),
     )
     salted_small = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -158,15 +158,15 @@ def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_window_events",
     sql="""
     WITH flagged AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, value, event_id,
                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                         > INTERVAL 30 MINUTE
+                         >= INTERVAL 30 MINUTE
                     OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                     THEN 1 ELSE 0 END AS new_session
         FROM events
     ), sessions AS (
         SELECT user_id, ts, value,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS session_id
         FROM flagged
     )
@@ -181,7 +181,10 @@ def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uses Spark's native session_window; the oracle rebuilds the same
-    sessionization with lag + cumulative sum (gaps-and-islands)."""
+    sessionization with lag + cumulative sum (gaps-and-islands).
+    Spark's session_window end is EXCLUSIVE — an exactly-30-minute gap
+    starts a new session — so the oracle's gap predicate is `>=`, and
+    both windows order by (ts, event_id) for deterministic ties."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")

@@ -27,13 +27,22 @@ height*width*d*8 bytes (a 20x20 map on 1024-d embeddings is ~3 MB).
 
 from __future__ import annotations
 
-import json
+import os
 
 import numpy as np
 import pandas as pd
 from pyspark import keyword_only
 from pyspark.ml import Estimator, Model
 from pyspark.ml.functions import vector_to_array
+from pyspark.ml.util import (
+    DefaultParamsReadable,
+    DefaultParamsReader,
+    DefaultParamsWritable,
+    DefaultParamsWriter,
+    MLReader,
+    MLWritable,
+    MLWriter,
+)
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -67,8 +76,13 @@ def _batch_matrix(series: pd.Series) -> np.ndarray:
     return np.asarray(np.stack(series.to_numpy()), dtype=np.float64)
 
 
-class SOM(Estimator, SOMParams):
-    """Spark ML Estimator for Kohonen's batch SOM (reference `SOM.scala:38`)."""
+class SOM(Estimator, SOMParams, DefaultParamsWritable, DefaultParamsReadable):
+    """Spark ML Estimator for Kohonen's batch SOM (reference `SOM.scala:38`).
+
+    Params-only state, so `DefaultParamsWritable/Readable` give full
+    `Pipeline.save`/`Pipeline.load` compatibility (a warm-start
+    `setInitialModel` is deliberately not serialized — persist the model
+    itself instead)."""
 
     # Training matrices at or below this size are collected to the driver
     # once and iterated locally (same kernel, no per-iteration Spark job).
@@ -309,9 +323,46 @@ class SOM(Estimator, SOMParams):
         return model
 
 
-class SOMModel(Model, SOMParams):
+class _SOMModelWriter(MLWriter):
+    """ML-format writer: params via DefaultParamsWriter metadata + the
+    codebook as a parquet table — so `PipelineModel.save` containing a
+    SOM stage works out of the box."""
+
+    def __init__(self, instance: "SOMModel") -> None:
+        super().__init__()
+        self.instance = instance
+
+    def saveImpl(self, path: str) -> None:
+        DefaultParamsWriter.saveMetadata(self.instance, path, self.sc)
+        self.instance.prototypes_df(self.sparkSession).write.mode("overwrite").parquet(
+            os.path.join(path, "prototypes")
+        )
+
+
+class _SOMModelReader(MLReader):
+    def __init__(self, cls) -> None:
+        super().__init__()
+        self._clazz = cls
+
+    def load(self, path: str) -> "SOMModel":
+        metadata = DefaultParamsReader.loadMetadata(path, self.sc)
+        rows = (
+            self.sparkSession.read.parquet(os.path.join(path, "prototypes"))
+            .orderBy("cell")
+            .collect()
+        )
+        prototypes = np.asarray([r["vector"] for r in rows], dtype=np.float64)
+        model = self._clazz(prototypes=prototypes)
+        model._resetUid(metadata["uid"])
+        DefaultParamsReader.getAndSetParams(model, metadata)
+        return model
+
+
+class SOMModel(Model, SOMParams, MLWritable):
     """Fitted SOM (reference `SOMModel.scala:27-98`) + save/load, which the
-    reference lacks (`README.md:91`)."""
+    reference lacks (`README.md:91`).  Implements MLWritable/MLReadable so
+    both the model alone and a `PipelineModel` containing it persist via
+    the standard `save`/`load` surface."""
 
     def __init__(self, prototypes: np.ndarray | None = None) -> None:
         super().__init__()
@@ -421,45 +472,23 @@ class SOMModel(Model, SOMParams):
         return spark.createDataFrame(rows, "cell int, row int, col int, vector array<double>")
 
     # --- persistence (closes the reference's stated gap, README.md:91) ---
-    def save(self, path: str) -> None:
-        spark = SparkSession.getActiveSession()
-        meta = {
-            "height": self.getHeight(),
-            "width": self.getWidth(),
-            "tMax": self.getTMax(),
-            "tMin": self.getTMin(),
-            "maxIter": self.getOrDefault(self.maxIter),
-            "tol": self.getOrDefault(self.tol),
-            "topology": self.getTopology(),
-            "neighborhoodKernel": self.getNeighborhoodKernel(),
-            "temperatureDecay": self.getTemperatureDecay(),
-            "featuresCol": self.getOrDefault(self.featuresCol),
-            "predictionCol": self.getOrDefault(self.predictionCol),
-            "seed": self.getOrDefault(self.seed),
-        }
-        self.prototypes_df(spark).write.mode("overwrite").parquet(f"{path}/prototypes")
-        spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(1).write.mode(
-            "overwrite"
-        ).text(f"{path}/metadata")
+    def write(self) -> MLWriter:
+        return _SOMModelWriter(self)
 
     @classmethod
-    def load(cls, spark: SparkSession, path: str) -> "SOMModel":
-        meta = json.loads(spark.read.text(f"{path}/metadata").first()["value"])
-        proto_rows = spark.read.parquet(f"{path}/prototypes").orderBy("cell").collect()
-        prototypes = np.asarray([r["vector"] for r in proto_rows], dtype=np.float64)
-        model = cls(prototypes=prototypes)
-        model._set(
-            height=meta["height"],
-            width=meta["width"],
-            tMax=meta["tMax"],
-            tMin=meta["tMin"],
-            maxIter=meta["maxIter"],
-            tol=meta["tol"],
-            topology=meta["topology"],
-            neighborhoodKernel=meta["neighborhoodKernel"],
-            temperatureDecay=meta["temperatureDecay"],
-            featuresCol=meta["featuresCol"],
-            predictionCol=meta["predictionCol"],
-            seed=meta["seed"],
-        )
-        return model
+    def read(cls) -> _SOMModelReader:
+        return _SOMModelReader(cls)
+
+    def save(self, path: str) -> None:
+        """Overwriting save; the writer carries its own SparkSession, so
+        this works from any thread (no getActiveSession dependency)."""
+        self.write().overwrite().save(path)
+
+    @classmethod
+    def load(cls, *args) -> "SOMModel":
+        """`load(path)` (MLReadable surface) or the legacy
+        `load(spark, path)` — the session argument is accepted and
+        ignored (the reader resolves its own)."""
+        if not args or len(args) > 2:
+            raise TypeError("load expects (path) or (spark, path)")
+        return cls.read().load(args[-1])

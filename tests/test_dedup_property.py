@@ -54,3 +54,46 @@ def test_shingle_jaccard_matches_bruteforce(spark, docs):
     assert set(got) == set(want)
     for pair, j in want.items():
         assert got[pair] == pytest.approx(j, rel=1e-9)
+
+
+def test_embedding_cosine_path_parity(spark):
+    """The size-gated exact (broadcast GEMM) path and the distributed
+    LSH failover agree on planted near-dups; forcing max_local_bytes=0
+    proves the failover never collects the corpus."""
+    import numpy as np
+
+    from sparkml_som_spark.operators.dedup import embedding_cosine_pairs
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((40, 16))
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    for i in range(8):  # near-dup of doc i at cosine ~0.9999
+        noisy = base[i] + 0.01 * rng.standard_normal(16)
+        rows.append((40 + i, noisy.tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    exact = {
+        (r["a_id"], r["b_id"], r["cos_sim"])
+        for r in embedding_cosine_pairs(emb, max_local_bytes=1 << 30).collect()
+    }
+    lsh = {
+        (r["a_id"], r["b_id"], r["cos_sim"])
+        for r in embedding_cosine_pairs(emb, max_local_bytes=0).collect()
+    }
+    assert len(exact) >= 8
+    assert lsh == exact
+
+
+def test_embedding_cosine_gate_skips_collect(spark, monkeypatch):
+    """Above the size gate the broadcast-GEMM (driver collect) path must
+    not run at all."""
+    import sparkml_som_spark.operators.dedup as D
+
+    def _boom(*a, **k):
+        raise AssertionError("collect path taken above the size gate")
+
+    monkeypatch.setattr(D, "_cosine_pairs_broadcast_gemm", _boom)
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0]) for i in range(10)], "vec_id long, v array<double>"
+    )
+    D.embedding_cosine_pairs(emb, max_local_bytes=0).collect()

@@ -228,3 +228,29 @@ def test_local_and_distributed_fit_paths_agree(spark):
         local.summary.objective_history, dist.summary.objective_history, atol=1e-9
     )
     df.unpersist()
+
+
+def test_pipeline_model_persistence(spark, tables, tmp_path):
+    """PipelineModel.save/load round-trip with a SOM stage (MLWritable/
+    MLReadable wiring) — predictions identical after reload; the bare
+    Pipeline (unfitted estimator) round-trips too."""
+    from pyspark.ml import Pipeline, PipelineModel
+
+    from sparkml_som_spark.operators.text_pipeline import build_text_som_pipeline
+
+    docs = tables["documents"].limit(200)
+    pipe = build_text_som_pipeline(n_features=64, height=2, width=2, seed=9)
+
+    pipe_path = str(tmp_path / "som_pipeline")
+    pipe.write().overwrite().save(pipe_path)
+    pipe2 = Pipeline.load(pipe_path)
+    assert pipe2.getStages()[-1].getHeight() == 2
+
+    fitted = pipe.fit(docs)
+    model_path = str(tmp_path / "som_pipeline_model")
+    fitted.write().overwrite().save(model_path)
+    reloaded = PipelineModel.load(model_path)
+
+    a = fitted.transform(docs).select("doc_id", "topic_cell").orderBy("doc_id").collect()
+    b = reloaded.transform(docs).select("doc_id", "topic_cell").orderBy("doc_id").collect()
+    assert a == b
