@@ -43,25 +43,55 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def shingle_pairs_with_jaccard(docs: DataFrame, n: int = 3) -> DataFrame:
+def shingle_pairs_with_jaccard(docs: DataFrame, n: int = 3, max_df: int | None = None) -> DataFrame:
     """Candidate pairs via an inverted shingle index + exact Jaccard.
 
     tokens -> distinct n-gram shingles -> explode -> self-equi-join on
     shingle (this is the candidate generation; Catalyst plans it as a
     shuffled hash join on the shingle key) -> per-pair common count ->
     Jaccard = common / (|A| + |B| - common).
+
+    ``max_df`` caps the inverted index: shingles appearing in more than
+    max_df documents are dropped from CANDIDATE GENERATION (their
+    join fan-out is quadratic in document frequency — one stop-phrase
+    shingle in 1M docs is a 10^12-row join key).  Denominator sizes
+    still count every shingle, and `common` is recomputed exactly over
+    the candidates' full shingle sets, so any pair that still shares at
+    least one sub-cap shingle gets its EXACT Jaccard — only pairs whose
+    overlap consists entirely of ultra-frequent shingles are missed,
+    and near-dups at high thresholds always share rare shingles.
     """
     sh = docs.select(
         "doc_id", F.explode(word_shingles(word_tokens(F.col("text")), n)).alias("s")
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .agg(F.count("*").alias("common"))
-    )
+    if max_df is None:
+        # uncapped: the candidate join doubles as the common counter
+        a, b = sh.alias("a"), sh.alias("b")
+        pairs = (
+            a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+            .agg(F.count("*").alias("common"))
+        )
+    else:
+        hot = sh.groupBy("s").agg(F.count("*").alias("df")).where(F.col("df") > max_df)
+        # drop hot shingles from the index via a broadcast anti-join
+        # (the hot set is tiny by construction)
+        idx = sh.join(F.broadcast(hot.select("s")), "s", "left_anti")
+        a, b = idx.alias("a"), idx.alias("b")
+        cand = (
+            a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+            .distinct()
+        )
+        # exact common count over the FULL shingle sets: the cap affects
+        # which pairs become candidates, never their Jaccard value
+        pairs = (
+            cand.join(sh.select(F.col("doc_id").alias("a_id"), "s"), "a_id")
+            .join(sh.select(F.col("doc_id").alias("b_id"), "s"), ["b_id", "s"])
+            .groupBy("a_id", "b_id")
+            .agg(F.count("*").alias("common"))
+        )
     return (
         pairs.join(F.broadcast(sizes).alias("sa"), F.col("a_id") == F.col("sa.doc_id"))
         .join(F.broadcast(sizes.withColumnRenamed("n_sh", "n_sh_b")).alias("sb"), F.col("b_id") == F.col("sb.doc_id"))
@@ -75,6 +105,13 @@ def shingle_pairs_with_jaccard(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+# Document-frequency cap for candidate generation: bounds the worst
+# join key at DF^2 fan-out.  64 is far above the testdata max DF (7 at
+# sf0.01, 25 at sf0.1), so the capped result is identical to the
+# exhaustive one there; at 100 TB the cap is what keeps one stop-phrase
+# shingle from creating a quadratic hot key.
+_NGRAM_MAX_DF = 64
+
 _NGRAM_ORACLE = """
     WITH toks AS (
         SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
@@ -83,9 +120,18 @@ _NGRAM_ORACLE = """
         FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
     ), sizes AS (
         SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), hot AS (
+        SELECT s FROM sh GROUP BY s HAVING COUNT(*) > {max_df}
+    ), idx AS (
+        SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM hot)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
     ), pairs AS (
-        SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
-        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        SELECT c.a_id, c.b_id, COUNT(*) AS common
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.a_id
+        JOIN sh sb ON sb.doc_id = c.b_id AND sb.s = sa.s
         GROUP BY 1, 2
     )
     SELECT a_id, b_id,
@@ -99,12 +145,12 @@ _NGRAM_ORACLE = """
 
 @register(
     "dedup_ngram_jaccard",
-    sql=_NGRAM_ORACLE.format(thr=0.8),
-    desc="near-dup pairs: word-3-gram Jaccard >= 0.8 via inverted index",
+    sql=_NGRAM_ORACLE.format(thr=0.8, max_df=_NGRAM_MAX_DF),
+    desc="near-dup pairs: word-3-gram Jaccard >= 0.8, DF-capped inverted index",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = shingle_pairs_with_jaccard(docs, n=3)
+    pairs = shingle_pairs_with_jaccard(docs, n=3, max_df=_NGRAM_MAX_DF)
     return (
         pairs.where(F.col("jaccard_raw") >= 0.8)
         .select("a_id", "b_id", F.round("jaccard_raw", 4).alias("jaccard"))
@@ -113,7 +159,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_lsh",
-    sql=_NGRAM_ORACLE.format(thr=0.8),
+    sql=_NGRAM_ORACLE.format(thr=0.8, max_df=_NGRAM_MAX_DF),
     desc="near-dup pairs via MinHash + banded LSH, verified with exact Jaccard",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -76,6 +76,93 @@ def _batch_matrix(series: pd.Series) -> np.ndarray:
     return np.asarray(np.stack(series.to_numpy()), dtype=np.float64)
 
 
+def _sparse_rows_df(df: DataFrame, col: str) -> DataFrame:
+    """VectorUDT column -> its underlying (type, size, indices, values)
+    struct fields via unwrap_udt — Arrow-friendly (nnz-sized transfer),
+    where vector_to_array would densify every row."""
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.unwrap_udt(F.col(col)).alias("u"))
+        .select("u.*")
+    )
+
+
+def _row_nnz(r) -> tuple[np.ndarray, np.ndarray]:
+    """Unwrapped vector row -> (indices, values) of its nonzeros.
+    type 1 = dense encoding, type 0 = sparse encoding."""
+    if r["type"] == 1:
+        v = np.asarray(r["values"], dtype=np.float64)
+        nz = np.flatnonzero(v)
+        return nz.astype(np.int64), v[nz]
+    return (
+        np.asarray(r["indices"], dtype=np.int64),
+        np.asarray(r["values"], dtype=np.float64),
+    )
+
+
+def _row_dense(r, dim: int) -> np.ndarray:
+    """Unwrapped vector row -> dense float64 vector."""
+    if r["type"] == 1:
+        return np.asarray(r["values"], dtype=np.float64)
+    v = np.zeros(dim, dtype=np.float64)
+    idx, vals = _row_nnz(r)
+    v[idx] = vals
+    return v
+
+
+def _pdf_sparse_block(u: pd.DataFrame, dim: int):
+    """pandas batch of unwrapped vector structs -> (CSR block over the
+    valid rows, positions of those rows).  Null vectors (null struct ->
+    null `type`) are excluded and surface as null predictions."""
+    types = u["type"]
+    indptr = [0]
+    idx_chunks: list[np.ndarray] = []
+    val_chunks: list[np.ndarray] = []
+    valid: list[int] = []
+    for i in range(len(u)):
+        if pd.isna(types.iloc[i]):
+            continue
+        if types.iloc[i] == 1:
+            v = np.asarray(u["values"].iloc[i], dtype=np.float64)
+            nz = np.flatnonzero(v)
+            idx_chunks.append(nz.astype(np.int64))
+            val_chunks.append(v[nz])
+        else:
+            idx_chunks.append(np.asarray(u["indices"].iloc[i], dtype=np.int64))
+            val_chunks.append(np.asarray(u["values"].iloc[i], dtype=np.float64))
+        indptr.append(indptr[-1] + len(idx_chunks[-1]))
+        valid.append(i)
+    block = (
+        np.asarray(indptr, dtype=np.int64),
+        np.concatenate(idx_chunks) if idx_chunks else np.empty(0, np.int64),
+        np.concatenate(val_chunks) if val_chunks else np.empty(0, np.float64),
+        len(valid),
+        dim,
+    )
+    return block, np.asarray(valid, dtype=np.int64)
+
+
+def _to_sparse_block(rows, dim: int):
+    """Partition iterator of unwrapped vector rows -> ONE CSR block
+    tuple (kernel.SparseBlock).  The sparse twin of `_to_block`."""
+    indptr = [0]
+    idx_chunks: list[np.ndarray] = []
+    val_chunks: list[np.ndarray] = []
+    for r in rows:
+        idx, vals = _row_nnz(r)
+        idx_chunks.append(idx)
+        val_chunks.append(vals)
+        indptr.append(indptr[-1] + len(idx))
+    if len(indptr) > 1:
+        yield (
+            np.asarray(indptr, dtype=np.int64),
+            np.concatenate(idx_chunks) if idx_chunks else np.empty(0, np.int64),
+            np.concatenate(val_chunks) if val_chunks else np.empty(0, np.float64),
+            len(indptr) - 1,
+            dim,
+        )
+
+
 class SOM(Estimator, SOMParams, DefaultParamsWritable, DefaultParamsReadable):
     """Spark ML Estimator for Kohonen's batch SOM (reference `SOM.scala:38`).
 
@@ -152,7 +239,34 @@ class SOM(Estimator, SOMParams, DefaultParamsWritable, DefaultParamsReadable):
         self._initial_model = model
         return self
 
-    def _init_codebook(self, feats: DataFrame) -> np.ndarray:
+    # Inputs denser than this ratio of nonzeros take the dense path;
+    # sparser ones (e.g. HashingTF/CountVectorizer TF-IDF at d=2^16+)
+    # keep CSR blocks end-to-end.  Class attrs so tests can force paths.
+    _SPARSE_DENSITY_THRESHOLD: float = 0.2
+    _SPARSE_SAMPLE_ROWS: int = 256
+
+    def _sparse_stats(self, dataset: DataFrame, col: str) -> tuple[int, float] | None:
+        """(dim, density) estimated from a bounded sample of a VectorUDT
+        column; None for array columns (always dense)."""
+        if dataset.schema[col].dataType.typeName() not in ("vector", "vectorudt"):
+            return None
+        rows = _sparse_rows_df(dataset, col).limit(self._SPARSE_SAMPLE_ROWS).collect()
+        if not rows:
+            return None
+        nnz = tot = dim = 0
+        for r in rows:
+            if r["type"] == 1:
+                v = np.asarray(r["values"])
+                dim = max(dim, len(v))
+                nnz += int(np.count_nonzero(v))
+                tot += len(v)
+            else:
+                dim = max(dim, int(r["size"]))
+                nnz += len(r["values"])
+                tot += int(r["size"])
+        return dim, (nnz / tot if tot else 1.0)
+
+    def _init_codebook(self, feats: DataFrame, sparse_dim: int | None = None) -> np.ndarray:
         """Random init: height*width samples WITH replacement, seeded
         (reference `initRandom`, `SOM.scala:295-298`). RDD takeSample keeps
         the with-replacement + seeded semantics a DataFrame
@@ -164,7 +278,15 @@ class SOM(Estimator, SOMParams, DefaultParamsWritable, DefaultParamsReadable):
         model; repartitioning changes the draw. Pin `setInitialModel`
         for layout-independent reproducibility."""
         n_cells = self.getHeight() * self.getWidth()
-        sample = feats.rdd.map(lambda r: r[0]).takeSample(True, n_cells, seed=self.getOrDefault(self.seed))
+        seed = self.getOrDefault(self.seed)
+        if sparse_dim is not None:
+            sample = feats.rdd.takeSample(True, n_cells, seed=seed)
+            if not sample:
+                raise ValueError("cannot fit SOM on an empty dataset (no non-null feature rows)")
+            # codebook is dense from the start (the weighted-mean update
+            # densifies it after one iteration anyway)
+            return np.stack([_row_dense(r, sparse_dim) for r in sample])
+        sample = feats.rdd.map(lambda r: r[0]).takeSample(True, n_cells, seed=seed)
         if not sample:
             raise ValueError("cannot fit SOM on an empty dataset (no non-null feature rows)")
         return np.asarray(sample, dtype=np.float64)
@@ -181,7 +303,19 @@ class SOM(Estimator, SOMParams, DefaultParamsWritable, DefaultParamsReadable):
         decay = self.getTemperatureDecay()
         t_max, t_min = self.getTMax(), self.getTMin()
 
-        feats = _features_as_array(dataset, self.getOrDefault(self.featuresCol))
+        feat_col = self.getOrDefault(self.featuresCol)
+        # Sparse route (reference parity: sparse-aware BLAS/distance at
+        # BLAS.scala:73-92, MLUtils.scala:77-84): VectorUDT inputs whose
+        # sampled density is below the threshold keep CSR blocks
+        # end-to-end — a d=2^18 TF-IDF corpus never densifies, where the
+        # dense path would OOM executors on the decoded blocks.
+        stats = self._sparse_stats(dataset, feat_col)
+        use_sparse = stats is not None and stats[1] < self._SPARSE_DENSITY_THRESHOLD
+        if use_sparse:
+            sparse_dim, sparse_density = stats
+            feats = _sparse_rows_df(dataset, feat_col)
+        else:
+            feats = _features_as_array(dataset, feat_col)
         # Persist the narrow feature projection unconditionally (the
         # reference's "iff caller didn't" guard, SOM.scala:82,88-90,
         # checked the input dataset — but fit makes several passes over
@@ -189,28 +323,35 @@ class SOM(Estimator, SOMParams, DefaultParamsWritable, DefaultParamsReadable):
         # each pass re-decodes rows unless feats itself is cached).
         feats.persist(StorageLevel.MEMORY_AND_DISK)
 
-        # Decode each partition to ONE dense NumPy block: per-iteration
-        # work is then pure GEMM over ndarrays with no Arrow/pickle
-        # decode in the loop (the "treeAggregate on NumPy blocks" variant
-        # from SURVEY.md §3 — DataFrame mapInPandas paid ~2x
-        # per-iteration overhead re-decoding the same rows).
-        def _to_block(rows):
-            buf = [r[0] for r in rows]
-            if buf:
-                yield np.asarray(buf, dtype=np.float64)
+        # Decode each partition to ONE NumPy block (dense ndarray or CSR
+        # tuple): per-iteration work is then pure GEMM / bincount over
+        # those cached blocks with no Arrow/pickle decode in the loop
+        # (the "treeAggregate on NumPy blocks" variant from SURVEY.md §3
+        # — DataFrame mapInPandas paid ~2x per-iteration overhead
+        # re-decoding the same rows).
+        if use_sparse:
+            def _to_block(rows, _d=sparse_dim):
+                yield from _to_sparse_block(rows, _d)
+        else:
+            def _to_block(rows):
+                buf = [r[0] for r in rows]
+                if buf:
+                    yield np.asarray(buf, dtype=np.float64)
 
         n_rows = feats.count()
 
         if self._initial_model is not None:
             codebook = self._initial_model.prototypes.astype(np.float64).copy()
             first = feats.first()
-            if first is not None and len(first[0]) != codebook.shape[1]:
-                raise ValueError(
-                    f"initial model dimension {codebook.shape[1]} does not match "
-                    f"data dimension {len(first[0])}"
-                )
+            if first is not None:
+                first_dim = sparse_dim if use_sparse else len(first[0])
+                if first_dim != codebook.shape[1]:
+                    raise ValueError(
+                        f"initial model dimension {codebook.shape[1]} does not match "
+                        f"data dimension {first_dim}"
+                    )
         else:
-            codebook = self._init_codebook(feats)
+            codebook = self._init_codebook(feats, sparse_dim if use_sparse else None)
         dim = codebook.shape[1]
 
         grid_d = K.grid_distances(h, w, self.getTopology())
@@ -230,15 +371,24 @@ class SOM(Estimator, SOMParams, DefaultParamsWritable, DefaultParamsReadable):
         # Above the threshold the distributed aggregate/treeAggregate
         # path below runs unchanged (the 100 TB path; per-iteration
         # driver traffic stays one (n_cells, dim) array either way).
-        local_matrix: np.ndarray | None = None
+        local_blocks: list | None = None
         blocks = None
-        if n_rows * dim * 8 <= self._LOCAL_FIT_BYTES:
+        est_bytes = (
+            int(n_rows * sparse_density * dim * 12) if use_sparse else n_rows * dim * 8
+        )
+        if est_bytes <= self._LOCAL_FIT_BYTES:
             collected = feats.rdd.mapPartitions(_to_block).collect()
             if collected:
-                local_matrix = (
-                    collected[0] if len(collected) == 1 else np.vstack(collected)
-                )
-        if local_matrix is None:
+                # dense blocks vstack to ONE matrix (single GEMM per
+                # iteration); sparse blocks stay a list — concatenation
+                # buys nothing for the bincount kernels
+                if use_sparse:
+                    local_blocks = collected
+                else:
+                    local_blocks = [
+                        collected[0] if len(collected) == 1 else np.vstack(collected)
+                    ]
+        if local_blocks is None:
             # Right-size parallelism to the data: each training job pays a
             # fixed per-task scheduling cost, so datasets spread over many
             # small partitions are overhead-bound. Coalesce (no shuffle)
@@ -252,12 +402,17 @@ class SOM(Estimator, SOMParams, DefaultParamsWritable, DefaultParamsReadable):
 
         while it < max_iter and not converged:
             temp = K.temperature(it, max_iter, t_max, t_min, decay)
-            if local_matrix is not None:
+            if local_blocks is not None:
                 cb = np.ascontiguousarray(codebook)
                 cn2 = np.einsum("ij,ij->i", cb, cb)
-                sums, counts, cost = K.partial_aggregate(
-                    local_matrix, cb, n_cells, cn2
-                )
+                sums = np.zeros((n_cells, dim), dtype=np.float64)
+                counts = np.zeros(n_cells, dtype=np.int64)
+                cost = 0.0
+                for blk in local_blocks:
+                    s, c, co = K.aggregate_block(blk, cb, n_cells, cn2)
+                    sums += s
+                    counts += c
+                    cost += co
             else:
                 bc = sc.broadcast(codebook) if use_broadcast else None
                 cb_direct = None if use_broadcast else codebook
@@ -265,7 +420,7 @@ class SOM(Estimator, SOMParams, DefaultParamsWritable, DefaultParamsReadable):
                 def seq_op(acc, block, _bc=bc, _cb=cb_direct, _n=n_cells):
                     cb = np.ascontiguousarray(_bc.value if _bc is not None else _cb)
                     cn2 = np.einsum("ij,ij->i", cb, cb)
-                    s, c, co = K.partial_aggregate(block, cb, _n, cn2)
+                    s, c, co = K.aggregate_block(block, cb, _n, cn2)
                     return (acc[0] + s, acc[1] + c, acc[2] + co)
 
                 def comb_op(a, b):
@@ -300,6 +455,9 @@ class SOM(Estimator, SOMParams, DefaultParamsWritable, DefaultParamsReadable):
         model = SOMModel(prototypes=codebook)
         model._resetUid(self.uid)
         self._copyValues(model)
+        # inference stays sparse when training was sparse (the transform
+        # UDF then receives nnz-sized Arrow batches, never dense rows)
+        model._sparse_inference = use_sparse
         predictions = model.transform(dataset)
         model.summary = SOMTrainingSummary(
             predictions=predictions,
@@ -370,6 +528,9 @@ class SOMModel(Model, SOMParams, MLWritable):
             np.asarray(prototypes, dtype=np.float64) if prototypes is not None else None
         )
         self.summary: SOMTrainingSummary | None = None
+        # set by SOM._fit when training ran on CSR blocks; keeps
+        # inference nnz-sized for VectorUDT inputs
+        self._sparse_inference: bool = False
 
     def setFeaturesCol(self, v: str) -> "SOMModel":
         return self._set(featuresCol=v)
@@ -411,6 +572,36 @@ class SOMModel(Model, SOMParams, MLWritable):
             return F.col(col).cast(T.ArrayType(T.DoubleType()))
         return vector_to_array(F.col(col)).cast(T.ArrayType(T.DoubleType()))
 
+    def _use_sparse_inference(self, df: DataFrame) -> bool:
+        col = self.getOrDefault(self.featuresCol)
+        return (
+            self._sparse_inference
+            and df.schema[col].dataType.typeName() in ("vector", "vectorudt")
+        )
+
+    def _bmu_udf_sparse(self, spark: SparkSession):
+        """Sparse twin of `_bmu_udf`: consumes the unwrap_udt struct, so
+        Arrow moves nnz entries instead of d-length dense rows, and the
+        kernel is the CSR bincount path — a d=2^18 TF-IDF batch never
+        densifies."""
+        bc = spark.sparkContext.broadcast(self.prototypes)
+        dim = int(self.prototypes.shape[1])
+
+        @F.pandas_udf("prediction int, distance double")
+        def predict_sparse(u: pd.DataFrame) -> pd.DataFrame:
+            cb = np.ascontiguousarray(bc.value)
+            cn2 = np.einsum("ij,ij->i", cb, cb)
+            block, valid = _pdf_sparse_block(u, dim)
+            pred = pd.array([pd.NA] * len(u), dtype="Int32")
+            dist = pd.array([pd.NA] * len(u), dtype="Float64")
+            if valid.size:
+                idx, d2 = K.find_bmu_sparse(block, cb, cn2)
+                pred[valid] = idx.astype(np.int32)
+                dist[valid] = d2
+            return pd.DataFrame({"prediction": pred, "distance": dist})
+
+        return predict_sparse
+
     def _transform(self, dataset: DataFrame) -> DataFrame:
         """Append the BMU index column (reference `SOMModel.scala:76-81`),
         via a vectorized pandas_udf against an explicit broadcast — the
@@ -422,8 +613,13 @@ class SOMModel(Model, SOMParams, MLWritable):
         if not pred_col and not dist_col:
             # empty names disable output (SchemaUtils.scala:90)
             return dataset
-        udf = self._bmu_udf(dataset.sparkSession)
-        out = dataset.withColumn("__bmu", udf(self._features_expr(dataset)))
+        if self._use_sparse_inference(dataset):
+            udf = self._bmu_udf_sparse(dataset.sparkSession)
+            feat_in = F.unwrap_udt(F.col(self.getOrDefault(self.featuresCol)))
+        else:
+            udf = self._bmu_udf(dataset.sparkSession)
+            feat_in = self._features_expr(dataset)
+        out = dataset.withColumn("__bmu", udf(feat_in))
         if pred_col:
             out = out.withColumn(pred_col, F.col("__bmu.prediction"))
         if dist_col:
@@ -442,21 +638,40 @@ class SOMModel(Model, SOMParams, MLWritable):
         spark = dataset.sparkSession
         bc = spark.sparkContext.broadcast(self.prototypes)
 
-        @F.pandas_udf(T.DoubleType())
-        def min_d2(arrs: pd.Series) -> pd.Series:
-            cb = np.ascontiguousarray(bc.value)
-            cn2 = np.einsum("ij,ij->i", cb, cb)
-            valid = arrs.notna().to_numpy()
-            out = np.zeros(len(arrs))  # null features contribute zero cost
-            if valid.any():
-                x = _batch_matrix(arrs[valid])
-                _, d2 = K.find_bmu(x, cb, cn2)
-                out[valid] = d2
-            return pd.Series(out)
+        if self._use_sparse_inference(dataset):
+            dim = int(self.prototypes.shape[1])
 
-        row = dataset.select(
-            F.sum(min_d2(self._features_expr(dataset))).alias("cost")
-        ).first()
+            @F.pandas_udf(T.DoubleType())
+            def min_d2_sparse(u: pd.DataFrame) -> pd.Series:
+                cb = np.ascontiguousarray(bc.value)
+                cn2 = np.einsum("ij,ij->i", cb, cb)
+                block, valid = _pdf_sparse_block(u, dim)
+                out = np.zeros(len(u))  # null features contribute zero cost
+                if valid.size:
+                    _, d2 = K.find_bmu_sparse(block, cb, cn2)
+                    out[valid] = d2
+                return pd.Series(out)
+
+            expr = min_d2_sparse(
+                F.unwrap_udt(F.col(self.getOrDefault(self.featuresCol)))
+            )
+        else:
+
+            @F.pandas_udf(T.DoubleType())
+            def min_d2(arrs: pd.Series) -> pd.Series:
+                cb = np.ascontiguousarray(bc.value)
+                cn2 = np.einsum("ij,ij->i", cb, cb)
+                valid = arrs.notna().to_numpy()
+                out = np.zeros(len(arrs))  # null features contribute zero cost
+                if valid.any():
+                    x = _batch_matrix(arrs[valid])
+                    _, d2 = K.find_bmu(x, cb, cn2)
+                    out[valid] = d2
+                return pd.Series(out)
+
+            expr = min_d2(self._features_expr(dataset))
+
+        row = dataset.select(F.sum(expr).alias("cost")).first()
         return float(row["cost"])
 
     computeCost = compute_cost  # reference-style alias

@@ -99,6 +99,80 @@ def partial_aggregate(batch: np.ndarray, codebook: np.ndarray, n_cells: int, cod
     return sums, counts, float(d2.sum())
 
 
+# --- sparse blocks -----------------------------------------------------
+# A sparse block is a CSR-shaped tuple (indptr, indices, values, n, d) of
+# plain NumPy arrays (the container has no scipy; bincount-based segment
+# ops below are C-speed and allocation-bounded).  Parity target: the
+# reference's sparse-aware BLAS/distance code (`BLAS.scala:73-92,133-175`,
+# `MLUtils.scala:77-84`) — same math, batched instead of per-row.
+
+SparseBlock = tuple  # (indptr i64 (n+1,), indices i64 (nnz,), values f64 (nnz,), n, d)
+
+
+def is_sparse_block(block) -> bool:
+    return isinstance(block, tuple)
+
+
+def _sparse_squared_distances(
+    block: SparseBlock, codebook: np.ndarray, code_norms2: np.ndarray | None = None
+) -> np.ndarray:
+    """(n, k) squared distances for a CSR block against a dense codebook.
+
+    Same ``|x|^2 + |c|^2 - 2 x.c`` identity as the dense kernel; the
+    cross term X @ C.T is computed as k bincount-weighted gathers over
+    the nnz entries — O(k * nnz), no densification of X.
+    """
+    indptr, indices, values, n, _d = block
+    if code_norms2 is None:
+        code_norms2 = np.einsum("ij,ij->i", codebook, codebook)
+    k = codebook.shape[0]
+    row_ids = np.repeat(np.arange(n), np.diff(indptr))
+    G = np.empty((n, k), dtype=np.float64)
+    for j in range(k):
+        G[:, j] = np.bincount(row_ids, weights=values * codebook[j, indices], minlength=n)
+    x_norms2 = np.bincount(row_ids, weights=values * values, minlength=n)
+    d2 = x_norms2[:, None] + code_norms2[None, :] - 2.0 * G
+    np.maximum(d2, 0.0, out=d2)
+    return d2
+
+
+def find_bmu_sparse(
+    block: SparseBlock, codebook: np.ndarray, code_norms2: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """BMU index + squared distance per row of a CSR block."""
+    d2 = _sparse_squared_distances(block, codebook, code_norms2)
+    idx = d2.argmin(axis=1)
+    return idx, d2[np.arange(len(idx)), idx]
+
+
+def partial_aggregate_sparse(
+    block: SparseBlock,
+    codebook: np.ndarray,
+    n_cells: int,
+    code_norms2: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray, float]:
+    """Sparse twin of `partial_aggregate`: scatter-add the CSR rows into
+    their BMU cells via one flat bincount over (cell, feature) keys.
+    Output (sums, counts, cost) is identical in shape and meaning to the
+    dense path, so the combine/update stages need no changes."""
+    indptr, indices, values, n, d = block
+    idx, min_d2 = find_bmu_sparse(block, codebook, code_norms2)
+    row_ids = np.repeat(np.arange(n), np.diff(indptr))
+    flat = idx[row_ids].astype(np.int64) * d + indices
+    sums = np.bincount(flat, weights=values, minlength=n_cells * d).reshape(n_cells, d)
+    counts = np.bincount(idx, minlength=n_cells).astype(np.int64)
+    return sums, counts, float(min_d2.sum())
+
+
+def aggregate_block(
+    block, codebook: np.ndarray, n_cells: int, code_norms2: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray, float]:
+    """Dispatch a dense ndarray or CSR tuple block to its kernel."""
+    if is_sparse_block(block):
+        return partial_aggregate_sparse(block, codebook, n_cells, code_norms2)
+    return partial_aggregate(block, codebook, n_cells, code_norms2)
+
+
 def smooth_update(
     codebook: np.ndarray,
     sums: np.ndarray,

@@ -97,3 +97,47 @@ def test_embedding_cosine_gate_skips_collect(spark, monkeypatch):
         [(i, [float(i), 1.0, 0.0]) for i in range(10)], "vec_id long, v array<double>"
     )
     D.embedding_cosine_pairs(emb, max_local_bytes=0).collect()
+
+
+def test_ngram_df_cap_hot_shingle(spark):
+    """Adversarial hot-shingle fixture: a stop-phrase shingle shared by
+    EVERY doc must not create pairs on its own once capped, while true
+    near-dups (sharing rare shingles) keep their EXACT Jaccard —
+    denominators and common counts still use the full shingle sets."""
+    from sparkml_som_spark.operators.dedup import shingle_pairs_with_jaccard
+
+    hot = "the quick brown"  # one 3-shingle present in every doc
+    docs = [
+        # pair (0, 1): near-identical, share rare shingles
+        (0, hot + " alpha beta gamma delta"),
+        (1, hot + " alpha beta gamma epsilon"),
+        # 2..9: unrelated docs whose ONLY overlap is the hot shingle
+        *[(i, hot + f" unique{i} filler{i} token{i}") for i in range(2, 10)],
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    uncapped = {
+        (r["a_id"], r["b_id"]): r["jaccard_raw"]
+        for r in shingle_pairs_with_jaccard(df, n=3).collect()
+    }
+    capped = {
+        (r["a_id"], r["b_id"]): r["jaccard_raw"]
+        for r in shingle_pairs_with_jaccard(df, n=3, max_df=5).collect()
+    }
+
+    # hot-only pairs disappear; pairs sharing any sub-cap shingle remain
+    assert (0, 1) in capped
+    # Jaccard of surviving pairs is EXACT (identical to uncapped)
+    for pair, j in capped.items():
+        assert j == uncapped[pair]
+    # every uncapped pair not in capped overlapped only via the hot
+    # shingle: the filler docs have 4 shingles each, so one common
+    # shingle gives jaccard 1/(4+4-1) = 1/7 — the hot-only ceiling
+    for pair in set(uncapped) - set(capped):
+        assert uncapped[pair] <= 1 / 7 + 1e-9
+    # and the cap above max DF changes nothing
+    cap_high = {
+        (r["a_id"], r["b_id"]): r["jaccard_raw"]
+        for r in shingle_pairs_with_jaccard(df, n=3, max_df=64).collect()
+    }
+    assert cap_high == uncapped
