@@ -64,18 +64,37 @@ def main() -> None:
         sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = SF_DIR  # non-standard dir name: report the path, don't crash
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "n_queries": len(timings),
-            }
-        )
-    )
+
+    # Full per-query detail goes to a file; the stdout line must fit the
+    # driver's 2000-char stdout-tail buffer or it records parsed=null
+    # (round-1 lesson: 87 queries serialized to ~2.7 KB and got cut).
+    detail = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    # stdout line: slowest queries first, as many as fit the budget
+    compact = dict(detail)
+    budget = 1800
+    kept: dict[str, float] = {}
+    by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
+    base = json.dumps({**compact, "queries": {}, "detail": "BENCH_DETAIL.json"}, separators=(",", ":"))
+    used = len(base)
+    for k, v in by_cost:
+        entry_len = len(json.dumps({k: v}, separators=(",", ":")))
+        if used + entry_len > budget:
+            break
+        kept[k] = v
+        used += entry_len
+    compact["queries"] = kept
+    compact["detail"] = "BENCH_DETAIL.json"
+    print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
 
 

@@ -35,7 +35,7 @@ from sparkml_som_spark.sources import load_table
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: shuffle carries (fp, doc_id) only; duplicate groups collapse
     map-side. md5 on both engines yields identical lowercase hex."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return (
         docs.select(F.md5(F.lower(F.trim("text"))).alias("fp"), "doc_id")
         .groupBy("fp")
@@ -43,7 +43,12 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def shingle_pairs_with_jaccard(docs: DataFrame, n: int = 3, max_df: int | None = None) -> DataFrame:
+def shingle_pairs_with_jaccard(
+    docs: DataFrame,
+    n: int = 3,
+    max_df: int | None = None,
+    cleanup: list | None = None,
+) -> DataFrame:
     """Candidate pairs via an inverted shingle index + exact Jaccard.
 
     tokens -> distinct n-gram shingles -> explode -> self-equi-join on
@@ -55,15 +60,29 @@ def shingle_pairs_with_jaccard(docs: DataFrame, n: int = 3, max_df: int | None =
     max_df documents are dropped from CANDIDATE GENERATION (their
     join fan-out is quadratic in document frequency — one stop-phrase
     shingle in 1M docs is a 10^12-row join key).  Denominator sizes
-    still count every shingle, and `common` is recomputed exactly over
-    the candidates' full shingle sets, so any pair that still shares at
-    least one sub-cap shingle gets its EXACT Jaccard — only pairs whose
-    overlap consists entirely of ultra-frequent shingles are missed,
-    and near-dups at high thresholds always share rare shingles.
+    still count every shingle, and `common` stays EXACT via the split
+    ``common = common_subcap + common_hot``: the candidate join counts
+    shared sub-cap shingles directly (as in the uncapped path), and the
+    hot-shingle overlap is added back from a per-doc hot-shingle
+    relation that is LINEAR in corpus size (one row per doc per hot
+    shingle), joined only against the candidate pairs.  Only pairs
+    whose overlap consists entirely of ultra-frequent shingles are
+    missed, and near-dups at high thresholds always share rare
+    shingles.
+
+    ``cleanup``: pass a list to persist the multiply-consumed
+    intermediates (the exploded shingles and the grouped index each
+    feed 2+ downstream plans); persisted handles are appended for the
+    caller to release after materializing (`materialize_distributed`).
     """
+    from pyspark import StorageLevel
+
     sh = docs.select(
         "doc_id", F.explode(word_shingles(word_tokens(F.col("text")), n)).alias("s")
     )
+    if cleanup is not None:
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        cleanup.append(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     if max_df is None:
         # uncapped: the candidate join doubles as the common counter
@@ -74,23 +93,46 @@ def shingle_pairs_with_jaccard(docs: DataFrame, n: int = 3, max_df: int | None =
             .agg(F.count("*").alias("common"))
         )
     else:
-        hot = sh.groupBy("s").agg(F.count("*").alias("df")).where(F.col("df") > max_df)
-        # drop hot shingles from the index via a broadcast anti-join
-        # (the hot set is tiny by construction)
-        idx = sh.join(F.broadcast(hot.select("s")), "s", "left_anti")
-        a, b = idx.alias("a"), idx.alias("b")
-        cand = (
-            a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-            .distinct()
-        )
-        # exact common count over the FULL shingle sets: the cap affects
-        # which pairs become candidates, never their Jaccard value
-        pairs = (
-            cand.join(sh.select(F.col("doc_id").alias("a_id"), "s"), "a_id")
-            .join(sh.select(F.col("doc_id").alias("b_id"), "s"), ["b_id", "s"])
+        # ONE shuffle builds the inverted index: shingle -> doc list.
+        # Sub-cap groups generate their pairs in place (df <= max_df
+        # bounds the per-group fan-out at df^2/2, so the explode is
+        # task-local and bounded); hot groups contribute no pairs but
+        # their doc lists re-add the hot overlap for candidate pairs.
+        grouped = sh.groupBy("s").agg(F.collect_list("doc_id").alias("ds"))
+        if cleanup is not None:
+            grouped = grouped.persist(StorageLevel.MEMORY_AND_DISK)
+            cleanup.append(grouped)
+        sub = (
+            grouped.where(F.size("ds") <= max_df)
+            .select(F.explode("ds").alias("a_id"), "ds")
+            .select(
+                "a_id",
+                F.explode(F.filter("ds", lambda d: d > F.col("a_id"))).alias("b_id"),
+            )
             .groupBy("a_id", "b_id")
-            .agg(F.count("*").alias("common"))
+            .agg(F.count("*").alias("common_subcap"))
+        )
+        # hot_doc is one row per (doc, hot shingle) — linear in corpus
+        # size even when a stop-phrase shingle is in every doc; joined
+        # only against the (small) candidate-pair set
+        hot_doc = (
+            grouped.where(F.size("ds") > max_df)
+            .select("s", F.explode("ds").alias("doc_id"))
+        )
+        hot_common = (
+            sub.select("a_id", "b_id")
+            .join(hot_doc.select(F.col("doc_id").alias("a_id"), "s"), "a_id")
+            .join(hot_doc.select(F.col("doc_id").alias("b_id"), "s"), ["b_id", "s"])
+            .groupBy("a_id", "b_id")
+            .agg(F.count("*").alias("common_hot"))
+        )
+        pairs = (
+            sub.join(hot_common, ["a_id", "b_id"], "left")
+            .select(
+                "a_id",
+                "b_id",
+                (F.col("common_subcap") + F.coalesce(F.col("common_hot"), F.lit(0))).alias("common"),
+            )
         )
     return (
         pairs.join(F.broadcast(sizes).alias("sa"), F.col("a_id") == F.col("sa.doc_id"))
@@ -149,12 +191,18 @@ _NGRAM_ORACLE = """
     desc="near-dup pairs: word-3-gram Jaccard >= 0.8, DF-capped inverted index",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = shingle_pairs_with_jaccard(docs, n=3, max_df=_NGRAM_MAX_DF)
-    return (
+    from sparkml_som_spark.operators.registry import materialize_distributed
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    handles: list = []
+    pairs = shingle_pairs_with_jaccard(docs, n=3, max_df=_NGRAM_MAX_DF, cleanup=handles)
+    out = (
         pairs.where(F.col("jaccard_raw") >= 0.8)
         .select("a_id", "b_id", F.round("jaccard_raw", 4).alias("jaccard"))
     )
+    # pin the (small) pair set on executors, then drop the persisted
+    # shingle index — without this the index cache leaks for the session
+    return materialize_distributed(out, cleanup=tuple(handles))
 
 
 @register(
@@ -175,7 +223,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     would skew.
     """
     n_hashes, bands, rows_per_band = 64, 16, 4
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     sh = docs.select(
         "doc_id", F.explode(word_shingles(word_tokens(F.col("text")), 3)).alias("s")
     )
@@ -241,7 +289,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits for candidate generation (hamming <= 3 guarantees >= 1 identical
     band), then exact hamming verify. All JVM-side bit arithmetic.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     toks = docs.select("doc_id", F.explode(word_tokens(F.col("text"))).alias("tok"))
     tok_counts = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
     h = tok_counts.withColumn("h", F.xxhash64("tok"))
@@ -427,7 +475,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs; exact semantics the oracle can check at
     test scale (the gate keeps testdata on the exact path), LSH failover
     beyond the gate."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     return embedding_cosine_pairs(emb)

@@ -638,7 +638,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     per doc/term) — no second pass over raw tokens."""
     from sparkml_som_spark.functions import word_tokens
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     tf = (
         docs.select("doc_id", F.explode(word_tokens(F.col("text"))).alias("term"))
         .groupBy("doc_id", "term")

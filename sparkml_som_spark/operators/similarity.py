@@ -98,7 +98,7 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     once; cosine is a JVM-side fold so the probe stays in codegen. The
     per-query top-k is a window over ROW_NUMBER — with q queries the
     shuffle carries q*corpus rows; for large q switch to the IVF path."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
@@ -200,7 +200,7 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectorized); the bucket join is an equi-join whose fan-out is bounded
     by band-bucket collision counts — never an all-pairs product.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     dim = len(emb.select("v").first()["v"])

@@ -24,7 +24,7 @@ def fit_default_som(spark: SparkSession, sf_dir: str):
     same process changes nothing but wall time."""
     from sparkml_som_spark.som import SOM
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     if sf_dir not in _MODEL_CACHE:
         som = SOM(
             height=5, width=5, maxIter=10, seed=42, featuresCol="embedding",

@@ -120,7 +120,7 @@ def media_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature extraction, then near-dup-grouped by content hash."""
     from sparkml_som_spark.operators.multimodal import extract_image_features
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),

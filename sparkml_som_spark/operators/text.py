@@ -33,7 +33,7 @@ _SW_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
     desc="token counting per source",
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     ntok = F.size(word_tokens(F.col("text")))
     return docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
@@ -67,7 +67,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     desc="heuristic quality score: length/stopword/word-length bands",
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     toks = word_tokens(F.col("text"))
     n_tokens = F.size(toks)
     stop_ratio = F.size(F.filter(toks, lambda w: w.isin(STOPWORDS))) / n_tokens
@@ -100,7 +100,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     desc="per-language corpus profile",
 )
 def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
@@ -125,7 +125,7 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     # One explode + ONE wide aggregation to per-doc trigram counts; the
     # per-lang profile is then a second, much smaller aggregation over
     # doc_grams (instead of re-aggregating the raw exploded trigrams,
@@ -195,7 +195,7 @@ def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkml_som_spark.functions.udtfs import register_udtfs
 
     register_udtfs(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return spark.sql(
         """
         SELECT doc_id, c.chunk_idx, c.chunk, c.n_tokens
@@ -217,7 +217,7 @@ def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     desc="global top-20 word frequency",
 )
 def word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return (
         docs.select(F.explode(word_tokens(F.col("text"))).alias("word"))
         .groupBy("word")
@@ -238,7 +238,7 @@ def word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     desc="positional explode (token index preserved)",
 )
 def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return docs.where(F.col("doc_id") < 20).select(
         "doc_id", F.posexplode(word_tokens(F.col("text"))).alias("pos", "token")
     )
@@ -256,7 +256,7 @@ def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     desc="content + bag-of-words fingerprints (md5, engine-portable)",
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return docs.select(
         "doc_id",
         F.md5(F.lower(F.trim("text"))).alias("content_fp"),

