@@ -33,6 +33,20 @@ def main() -> None:
     for t in TABLE_NAMES:
         load_table(spark, SF_DIR, t).count()
 
+    # warm the Python-worker/Arrow path too: the first pandas_udf in a
+    # session pays worker spawn + Arrow init (~5 s across 32 cores),
+    # which otherwise lands on whichever query happens to run first
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("double")
+    def _warm(v: pd.Series) -> pd.Series:
+        return v * 1.0
+
+    spark.range(1024).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).select(
+        _warm(F.col("id").cast("double"))
+    ).count()
+
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         t0 = time.time()

@@ -140,6 +140,7 @@ def load_all() -> dict[str, QuerySpec]:
     import sparkml_som_spark.operators.relational  # noqa: F401
     import sparkml_som_spark.operators.relational2  # noqa: F401
     import sparkml_som_spark.operators.relational3  # noqa: F401
+    import sparkml_som_spark.operators.relational4  # noqa: F401
     import sparkml_som_spark.operators.similarity  # noqa: F401
     import sparkml_som_spark.operators.som_queries  # noqa: F401
     import sparkml_som_spark.operators.sources_queries  # noqa: F401

@@ -1,0 +1,418 @@
+"""Fourth wave of relational coverage: the TPC-H query shapes missing
+from rounds 1 (Q2, Q8, Q11, Q13, Q15, Q17, Q20, Q21), adapted to the
+testdata star schema — it has no partsupp table and no
+commit/receipt dates, so the partsupp-backed queries re-anchor on
+lineitem (supplier x part facts) and Q21's "late" predicate uses
+l_shipdate > o_orderdate + 60 days.  The operator SHAPES are the
+point and are preserved exactly: correlated scalar-min subquery (Q2),
+conditional market-share ratio (Q8), HAVING over a scalar-subquery
+fraction of a total (Q11), outer-join count histogram (Q13), view +
+scalar-max equality (Q15), correlated per-group average threshold
+(Q17), nested semi-join chain (Q20), and EXISTS / NOT-EXISTS
+multi-correlation (Q21, re-expressed as one per-order aggregate pass
+on the Spark side — no correlated re-scan of the fact table).
+
+Scale rules as elsewhere: dimensions broadcast, predicates on scan
+columns (pushdown), aggregates partial+final, the fact table is
+scanned a bounded number of times (once for most; Q21 twice).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparkml_som_spark.operators.registry import register
+from sparkml_som_spark.sources import load_table
+
+
+def _rev() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@register(
+    "q2_min_price_supplier",
+    sql="""
+    WITH avgp AS (
+        SELECT l_partkey, l_suppkey, ROUND(AVG(l_extendedprice), 4) AS avg_price
+        FROM lineitem GROUP BY 1, 2
+    ), ranked AS (
+        SELECT l_partkey, l_suppkey, avg_price,
+               ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                  ORDER BY avg_price, l_suppkey) AS rn
+        FROM avgp
+    )
+    SELECT p.p_partkey, p.p_name, s.s_name, n.n_name, r.avg_price
+    FROM ranked r
+    JOIN part p ON p.p_partkey = r.l_partkey
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE r.rn = 1 AND p.p_size = 5 AND p.p_type = 'LARGE'
+    """,
+    desc="TPC-H Q2 shape: cheapest supplier per filtered part (correlated min via rank)",
+)
+def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2's correlated `ps_supplycost = (SELECT MIN…)` re-anchored on
+    observed sale prices (no partsupp in this schema; reference shape
+    per TPC-H spec).  Spark-first: the correlated min is a rank-1
+    window over the per-(part, supplier) aggregate — one shuffle on
+    l_partkey serves both the aggregate and the window; part/supplier/
+    nation are broadcast.  avg_price is rounded to 4 decimals BEFORE
+    ranking on both engines so float summation-order noise cannot flip
+    a near-tie (suppkey breaks exact ties deterministically)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").where(
+            (F.col("p_size") == 5) & (F.col("p_type") == "LARGE")
+        )
+    )
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    avgp = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("avg_price", "l_suppkey")
+    best = avgp.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        best.join(p, best.l_partkey == p.p_partkey)
+        .join(s, best.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .select("p_partkey", "p_name", "s_name", "n_name", "avg_price")
+    )
+
+
+@register(
+    "q8_market_share",
+    sql="""
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           ROUND(SUM(CASE WHEN sn.n_name = 'NATION_7'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS mkt_share
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN region r ON cn.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    WHERE p.p_type = 'PROMO' AND r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+    desc="TPC-H Q8 shape: one nation's share of PROMO volume sold into ASIA, by year",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seven-table join where ONLY the two fact tables are big: every
+    dimension (part, customer, both nation roles, region, supplier) is
+    broadcast, so the single shuffle is lineitem->orders on the order
+    key.  The share is a conditional-sum ratio computed in one
+    aggregation pass (no self-join of numerator vs denominator)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = F.broadcast(load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO"))
+    c = F.broadcast(load_table(spark, sf_dir, "customer"))
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    n = load_table(spark, sf_dir, "nation")
+    r = F.broadcast(load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
+    cn = F.broadcast(n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")))
+    sn = F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("sn_name")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(cn, c.c_nationkey == F.col("cn_key"))
+        .join(r, F.col("cn_region") == r.r_regionkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(sn, s.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("sn_name") == "NATION_7", _rev()).otherwise(0.0))
+                / F.sum(_rev()),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q11_important_parts",
+    sql="""
+    WITH scoped AS (
+        SELECT l.l_partkey, l.l_extendedprice
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name IN ('NATION_1', 'NATION_2')
+    )
+    SELECT l_partkey, ROUND(SUM(l_extendedprice), 4) AS part_value
+    FROM scoped
+    GROUP BY l_partkey
+    HAVING SUM(l_extendedprice) > (
+        SELECT 0.001 * SUM(l_extendedprice) FROM scoped
+    )
+    """,
+    desc="TPC-H Q11 shape: parts whose value exceeds a fraction of the scoped total",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING against a scalar subquery over the SAME scoped relation.
+    Spark-first: the scoped projection is computed once and persisted
+    implicitly by plan reuse — per-part sums and the grand total are
+    two aggregations over one scan; the scalar total joins back as a
+    broadcast (1 row).  No partsupp in this schema: `value` re-anchors
+    on sold value (reference shape per TPC-H spec)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    n = F.broadcast(
+        load_table(spark, sf_dir, "nation").where(
+            F.col("n_name").isin("NATION_1", "NATION_2")
+        )
+    )
+    scoped = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .select("l_partkey", "l_extendedprice")
+    )
+    per_part = scoped.groupBy("l_partkey").agg(
+        F.sum("l_extendedprice").alias("raw_value")
+    )
+    total = scoped.agg((0.001 * F.sum("l_extendedprice")).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("raw_value") > F.col("threshold"))
+        .select("l_partkey", F.round("raw_value", 4).alias("part_value"))
+    )
+
+
+@register(
+    "q13_order_count_distribution",
+    sql="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    desc="TPC-H Q13 shape: histogram of per-customer order counts (outer join keeps 0s)",
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double aggregation over a filtered LEFT join — the join condition
+    (not a WHERE) keeps order-less customers as c_count=0, which is the
+    whole point of the query.  Spark-first: customer is the smaller
+    side but must be the probe side of the outer join, so the orders
+    scan carries only (o_custkey) after pruning; the second aggregation
+    is over at most |distinct counts| rows."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q15_top_supplier",
+    sql="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    desc="TPC-H Q15 shape: supplier(s) with max quarterly revenue (view + scalar max)",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The revenue 'view' is one filtered aggregation; the scalar MAX
+    joins back as a broadcast single row.  Revenue is rounded to 4
+    decimals on BOTH engines before the equality so summation-order
+    noise can't drop the winner.  Pushdown: the shipdate range reaches
+    the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(_rev()), 4).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.join(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q17_small_qty_revenue",
+    sql="""
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#11'
+      AND l.l_quantity < (
+          SELECT 0.2 * AVG(l2.l_quantity)
+          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+    desc="TPC-H Q17 shape: revenue from below-average-quantity orders of one brand",
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated per-part average is decorrelated into one
+    aggregation + an equi-join (Catalyst would do the same rewrite for
+    the SQL form; stating it directly keeps the plan explicit): per-part
+    thresholds for ALL parts come from one lineitem pass, then the
+    brand-filtered rows compare against their part's threshold.  The
+    threshold aggregate is over l_partkey — bounded by |part|, so the
+    join side broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#11")
+    )
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(F.broadcast(thresholds), li.l_partkey == F.col("t_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q20_excess_suppliers",
+    sql="""
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name IN ('NATION_3', 'NATION_4', 'NATION_5')
+      AND s.s_suppkey IN (
+          SELECT l.l_suppkey
+          FROM lineitem l
+          JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE p.p_name LIKE '%widget%'
+            AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+          GROUP BY l.l_suppkey
+          HAVING SUM(l.l_quantity) > 100
+      )
+    """,
+    desc="TPC-H Q20 shape: nested semi-join chain (suppliers who moved >100 widgets)",
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20's IN-chain re-anchored on shipped quantity (no partsupp
+    availqty in this schema).  Spark-first: the inner pipeline is a
+    broadcast part-filter + one aggregation with the HAVING as a
+    post-agg filter; the outer IN becomes a LEFT SEMI join, so
+    supplier rows are emitted at most once and nothing materializes
+    the inner result wider than (l_suppkey)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = F.broadcast(
+        load_table(spark, sf_dir, "nation").where(
+            F.col("n_name").isin("NATION_3", "NATION_4", "NATION_5")
+        )
+    )
+    movers = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(movers, s.s_suppkey == movers.l_suppkey, "left_semi")
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    sql="""
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON l1.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_4'
+      AND o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s.s_name
+    """,
+    desc="TPC-H Q21 shape: sole-late supplier per multi-supplier order (EXISTS/NOT EXISTS)",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21's double correlation ("another supplier exists; no OTHER
+    supplier was late") collapses into one per-order aggregate instead
+    of two correlated re-scans of lineitem: per order, count distinct
+    suppliers and distinct LATE suppliers; a late l1 row qualifies iff
+    the order has >1 supplier and exactly 1 late one (l1's own — it is
+    late, so it is in the late set).  "Late" = shipped more than 60
+    days after the order date (this schema has no commit/receipt
+    dates).  Two shuffles on l_orderkey total, dimensions broadcast —
+    at 100 TB the correlated-subquery form would re-scan the fact
+    table per correlation instead."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    n = F.broadcast(
+        load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_4")
+    )
+    flagged = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .withColumn(
+            "is_late",
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).cast("int"),
+        )
+    )
+    order_stats = flagged.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    return (
+        flagged.where(F.col("is_late") == 1)
+        .join(order_stats, F.col("l_orderkey") == F.col("ok"))
+        .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
