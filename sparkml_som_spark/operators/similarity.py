@@ -123,7 +123,7 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_ivf_som",
     sql=None,  # SOM assignment is not SQL-expressible -> rows-only check
-    desc="IVF-style ANN: SOM cells as coarse quantizer, probe 4 nearest cells",
+    desc="IVF-style ANN: SOM cells as coarse quantizer, probe 8 nearest cells",
 )
 def ann_ivf_som(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a small SOM over the corpus; its cells form the IVF coarse
@@ -143,7 +143,7 @@ def ann_ivf_som(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sparkml_som_spark.operators.som_queries import fit_default_som
 
-    nprobe = 6
+    nprobe = 8
     model, emb = fit_default_som(spark, sf_dir)
     assigned = model.transform(emb).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"), F.col("prediction").alias("cell")
