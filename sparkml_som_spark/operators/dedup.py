@@ -134,9 +134,11 @@ def shingle_pairs_with_jaccard(
                 (F.col("common_subcap") + F.coalesce(F.col("common_hot"), F.lit(0))).alias("common"),
             )
         )
+    # sizes is PER-DOC (unbounded at corpus scale) — no broadcast hint;
+    # AQE broadcasts it at small SF and shuffle-joins it at 100 TB
     return (
-        pairs.join(F.broadcast(sizes).alias("sa"), F.col("a_id") == F.col("sa.doc_id"))
-        .join(F.broadcast(sizes.withColumnRenamed("n_sh", "n_sh_b")).alias("sb"), F.col("b_id") == F.col("sb.doc_id"))
+        pairs.join(sizes.alias("sa"), F.col("a_id") == F.col("sa.doc_id"))
+        .join(sizes.withColumnRenamed("n_sh", "n_sh_b").alias("sb"), F.col("b_id") == F.col("sb.doc_id"))
         .select(
             "a_id",
             "b_id",

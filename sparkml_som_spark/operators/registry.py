@@ -127,9 +127,9 @@ _PRIORITY: tuple[str, ...] = (
     "stream_session_window",
     "stream_dedup_exact",
     "stream_stateful_profile",
-    # continuity keepers: representative TPC-H rows stay driver-visible
+    "stream_interval_join",
+    # continuity keeper: a representative TPC-H row stays driver-visible
     "q1_pricing_summary",
-    "q3_shipping_priority",
 )
 
 

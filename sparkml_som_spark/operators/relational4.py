@@ -284,8 +284,9 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SQL form; stating it directly keeps the plan explicit): per-part
     thresholds for ALL parts come from one lineitem pass, then the
     brand-filtered rows compare against their part's threshold.  The
-    threshold aggregate is over l_partkey — bounded by |part|, so the
-    join side broadcasts."""
+    threshold relation is per-part — SF-scaled, so NO broadcast hint:
+    AQE broadcasts it at small SF and shuffle-joins on l_partkey at
+    scale (where the brand-filtered probe side is the small one)."""
     li = load_table(spark, sf_dir, "lineitem")
     p = F.broadcast(
         load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#11")
@@ -295,7 +296,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(p, li.l_partkey == p.p_partkey)
-        .join(F.broadcast(thresholds), li.l_partkey == F.col("t_partkey"))
+        .join(thresholds, li.l_partkey == F.col("t_partkey"))
         .where(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
     )

@@ -28,6 +28,7 @@ from sparkml_som_spark.sources import load_table
 from sparkml_som_spark.streaming.stateful import stateful_user_profile
 from sparkml_som_spark.streaming.windows import (
     dedup_stream,
+    interval_join_stream,
     sliding_window_stream,
     session_window_stream,
     tumbling_window_stream,
@@ -58,18 +59,31 @@ def _stream_source(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
 def _run_to_memory(spark: SparkSession, out: DataFrame, table: str, mode: str) -> DataFrame:
     """Drain an AvailableNow query into a memory sink and return the
     sink contents.  Distinctive `sgs_` view prefix avoids colliding
-    with the harness's pre-registered table views."""
-    q = (
-        out.writeStream.format("memory")
-        .queryName(table)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    with the harness's pre-registered table views.
+
+    The stream runs with a reduced shuffle-partition count (restored
+    after): stateful operators create one state store per shuffle
+    partition per micro-batch, and at registry-test data volumes the
+    per-store open/commit overhead dominates — 8 stores move the same
+    rows with a quarter of the commits.  On a real firehose the right
+    number is sized to state volume, not to this constant; it is fixed
+    into the checkpoint at first start either way."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q.awaitTermination(300)
+        q = (
+            out.writeStream.format("memory")
+            .queryName(table)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(table)
 
 
@@ -95,6 +109,19 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream, key = _stream_source(spark, sf_dir)
     return _run_to_memory(spark, dedup_stream(stream), f"sgs_stream_dedup_{key}".replace(".", "_"), "append")
+
+
+@register("stream_interval_join", desc="stream-stream interval join with two-sided watermark state bounds (rows-only; batch twin interval_join_click_after_signup is the oracle)")
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    s_stream, key = _stream_source(spark, sf_dir)
+    c_stream, _ = _stream_source(spark, sf_dir)
+    out = interval_join_stream(
+        s_stream.where(F.col("event_type") == "signup"),
+        c_stream.where(F.col("event_type") == "click"),
+    )
+    return _run_to_memory(spark, out, f"sgs_stream_ijoin_{key}".replace(".", "_"), "append")
 
 
 @register("stream_stateful_profile", desc="applyInPandasWithState per-user running profile (rows-only)")

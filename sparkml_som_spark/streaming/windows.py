@@ -76,6 +76,47 @@ def run_stream_to_memory(stream_df: DataFrame, table_name: str, mode: str = "com
     )
 
 
+def interval_join_stream(
+    signups: DataFrame,
+    clicks: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: clicks within `window` after a signup
+    (streaming twin of `interval_join_click_after_signup`; same output
+    schema, so the batch query is the oracle).
+
+    Both sides carry watermarks and the join condition bounds event
+    time in BOTH directions (c_ts in [s_ts, s_ts + window)), which is
+    what lets Spark expire buffered state: a signup older than
+    watermark + window can never match a future click and is evicted.
+    Without the two-sided bound the join state grows with the whole
+    stream — the difference between a runnable and an OOM topology at
+    firehose scale."""
+    s = signups.withWatermark("ts", watermark).select(
+        "user_id", F.col("event_id").alias("signup_id"), F.col("ts").alias("s_ts")
+    )
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    return (
+        s.join(
+            c,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("c_ts") >= F.col("s_ts"))
+            & (F.col("c_ts") < F.col("s_ts") + F.expr(f"INTERVAL {window}")),
+        )
+        .select(
+            "user_id",
+            "signup_id",
+            "click_id",
+            (F.unix_timestamp("c_ts") - F.unix_timestamp("s_ts")).alias("secs_after"),
+        )
+    )
+
+
 def dedup_stream(stream: DataFrame, keys: list[str] | None = None, watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup: keep the first arrival of each key within
     the watermark horizon (`dropDuplicatesWithinWatermark`), so state is

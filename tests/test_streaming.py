@@ -102,3 +102,41 @@ def test_stream_dedup_drops_replayed_batch(spark, tmp_path):
     assert got.count() == n_unique
     assert got.agg(F.max("n")).first()[0] == 1
     ev.unpersist()
+
+
+def test_interval_join_stream_matches_batch(spark, event_stream):
+    """Stream-stream interval join == batch interval join over the same
+    files (append mode: every matched pair is emitted exactly once)."""
+    import pyspark.sql.functions as F
+
+    from sparkml_som_spark.streaming.windows import interval_join_stream, run_stream_to_memory
+
+    stream, batch = event_stream
+    out = interval_join_stream(
+        stream.where(F.col("event_type") == "signup"),
+        stream.where(F.col("event_type") == "click"),
+    )
+    q = run_stream_to_memory(out, "t_ijoin", mode="append")
+    q.awaitTermination(120)
+    q.stop()
+    got = spark.sql("SELECT * FROM t_ijoin")
+
+    s = batch.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("event_id").alias("signup_id"), F.col("ts").alias("s_ts")
+    )
+    c = batch.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    want = s.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") >= F.col("s_ts"))
+        & (F.col("c_ts") < F.col("s_ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select(
+        "user_id",
+        "signup_id",
+        "click_id",
+        (F.unix_timestamp("c_ts") - F.unix_timestamp("s_ts")).alias("secs_after"),
+    )
+    assert len(_as_sets(got)) > 0
+    assert _as_sets(got) == _as_sets(want)
