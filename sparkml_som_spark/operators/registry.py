@@ -108,13 +108,13 @@ _PRIORITY: tuple[str, ...] = (
     "tfidf_top_terms",
     "text_token_stats",
     "text_quality_score",
-    "text_lang_profile",
     "text_langid_ngram",
     "udtf_chunk_documents",
     "word_freq_topk",
     "posexplode_tokens",
     "doc_fingerprint",
     "text_som_topics",
+    "pipeline_clean_corpus",
     "dedup_exact_groups",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -136,6 +136,7 @@ _PRIORITY: tuple[str, ...] = (
 def load_all() -> dict[str, QuerySpec]:
     """Import every operator module so its @register calls run, then
     order the registry so ``_PRIORITY`` entries come first."""
+    import sparkml_som_spark.operators.corpus_pipeline  # noqa: F401
     import sparkml_som_spark.operators.dedup  # noqa: F401
     import sparkml_som_spark.operators.relational  # noqa: F401
     import sparkml_som_spark.operators.relational2  # noqa: F401
@@ -144,6 +145,7 @@ def load_all() -> dict[str, QuerySpec]:
     import sparkml_som_spark.operators.similarity  # noqa: F401
     import sparkml_som_spark.operators.som_queries  # noqa: F401
     import sparkml_som_spark.operators.sources_queries  # noqa: F401
+    import sparkml_som_spark.operators.skew  # noqa: F401
     import sparkml_som_spark.operators.stats  # noqa: F401
     import sparkml_som_spark.operators.streaming_queries  # noqa: F401
     import sparkml_som_spark.operators.text  # noqa: F401

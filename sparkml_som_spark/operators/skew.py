@@ -56,3 +56,39 @@ def salted_join(
     )
     out = salted_large.join(salted_small, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from sparkml_som_spark.operators.registry import register  # noqa: E402
+from sparkml_som_spark.sources import load_table  # noqa: E402
+
+
+@register(
+    "skew_salted_join_segments",
+    sql="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value), 4) AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    desc="salted equi-join under the oracle: per-segment event totals, hot keys spread over 8 salts",
+)
+def skew_salted_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The event stream concentrates on few users (hot keys), so this is
+    the salted-join shape under the correctness gate: large side salted,
+    small side exploded 8x, join on (key, salt) — results provably equal
+    to the unsalted join (the oracle IS the unsalted join).  At 100 TB
+    AQE's skew splitting handles moderate skew; this explicit form is
+    the fallback for a key too hot for post-shuffle file splitting."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, cust, on="user_id", n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
