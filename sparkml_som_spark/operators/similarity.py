@@ -228,3 +228,65 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rank", F.round("cos_raw", 4).alias("cos_sim")),
         cleanup=(bc_planes,),
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    sql="""
+    SELECT vec_id,
+           CAST(len(v) AS BIGINT) AS dim,
+           ROUND(scale, 6) AS scale,
+           CAST(list_sum(list_transform(v, x -> floor(x / scale + 0.5))) AS BIGINT) AS q_sum,
+           ROUND(list_max(list_transform(v, x -> abs(floor(x / scale + 0.5) * scale - x))), 6)
+               AS max_err
+    FROM (
+        SELECT vec_id, v,
+               CASE WHEN m = 0 THEN 1.0 ELSE m / 127 END AS scale
+        FROM (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS m
+            FROM embeddings
+        )
+    )
+    """,
+    desc="symmetric int8 quantization of embeddings: per-vector scale, checksum, max error",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantization is how an ANN index holds 100 TB of embeddings
+    in memory (4x smaller than float32, 8x than float64): symmetric
+    per-vector scale = max|x|/127, q_i = round(x_i/scale).  All
+    higher-order array functions — one JVM-side scan, no Python, no
+    shuffle; the checksum and max reconstruction error make the result
+    value-verifiable against the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    m = F.array_max(F.transform("v", lambda x: F.abs(x)))
+    scaled = emb.withColumn("scale", F.when(m == 0, F.lit(1.0)).otherwise(m / 127))
+    # floor(x + 0.5), not round(): Spark rounds halves up, DuckDB
+    # rounds doubles half-to-even — identical fp ops on both engines
+    q = F.transform("v", lambda x: F.floor(x / F.col("scale") + 0.5))
+    err = F.array_max(
+        F.transform(
+            "v",
+            lambda x: F.abs(F.floor(x / F.col("scale") + 0.5) * F.col("scale") - x),
+        )
+    )
+    # two-step select: Spark's lateral column alias resolution would
+    # otherwise bind the q/err lambdas' `scale` reference to the
+    # ROUNDED sibling alias in the same select list (the oracle's
+    # lambdas see the raw scale)
+    raw = scaled.select(
+        "vec_id",
+        F.size("v").cast("long").alias("dim"),
+        F.col("scale").alias("scale_raw"),
+        F.aggregate(q, F.lit(0.0), lambda a, x: a + x).cast("long").alias("q_sum"),
+        err.alias("err_raw"),
+    )
+    return raw.select(
+        "vec_id",
+        "dim",
+        F.round("scale_raw", 6).alias("scale"),
+        "q_sum",
+        F.round("err_raw", 6).alias("max_err"),
+    )

@@ -264,3 +264,46 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.array_sort(F.array_distinct(word_tokens(F.col("text")))), " ")
         ).alias("bow_fp"),
     )
+
+
+# GPT-2-style pre-tokenizer, simplified to the subset both regex
+# engines (Java in Spark, RE2 in DuckDB) interpret identically: letter
+# runs, digit runs, and punctuation runs, each with an optional leading
+# space.  The real BPE pre-tokenizer's contraction cases and
+# trailing-space lookahead need (?!\S), which RE2 does not support —
+# this is the engine-portable core of the same idea.
+_BPE_RE = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
+
+
+@register(
+    "text_bpe_token_stats",
+    sql=f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(lower(text), '{_BPE_RE}'))) AS BIGINT)
+               AS total_bpe_tokens,
+           ROUND(AVG(len(regexp_extract_all(lower(text), '{_BPE_RE}'))), 4)
+               AS avg_bpe_tokens,
+           ROUND(AVG(len(regexp_extract_all(lower(text), '{_BPE_RE}'))
+                     * 1.0 / len(string_split(lower(text), ' '))), 4)
+               AS bpe_per_word
+    FROM documents
+    GROUP BY source
+    """,
+    desc="BPE-ish token counting: pre-tokenizer regex runs vs whitespace words, per source",
+)
+def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count estimation the way an LLM data pipeline budgets
+    context: a GPT-2-style pre-tokenizer regex (letter/digit/punct runs)
+    counted per document, compared against whitespace words.  Pure
+    JVM-side regexp_extract_all — one scan, no Python; at 100 TB this is
+    a map-only stage feeding a 5-group aggregate."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    bpe = F.size(F.regexp_extract_all(F.lower("text"), F.lit(_BPE_RE), 0))
+    words = F.size(word_tokens(F.col("text")))
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(bpe).cast("long").alias("total_bpe_tokens"),
+        F.round(F.avg(bpe), 4).alias("avg_bpe_tokens"),
+        F.round(F.avg(bpe / words), 4).alias("bpe_per_word"),
+    )
