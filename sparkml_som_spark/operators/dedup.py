@@ -481,3 +481,128 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     return embedding_cosine_pairs(emb)
+
+
+_CC_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), hot AS (
+        SELECT s FROM sh GROUP BY s HAVING COUNT(*) > {{max_df}}
+    ), idx AS (
+        SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM hot)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+    ), pairs AS (
+        SELECT c.a_id, c.b_id, COUNT(*) AS common
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.a_id
+        JOIN sh sb ON sb.doc_id = c.b_id AND sb.s = sa.s
+        GROUP BY 1, 2
+    ), edges AS (
+        SELECT p.a_id, p.b_id
+        FROM pairs p
+        JOIN sizes za ON za.doc_id = p.a_id
+        JOIN sizes zb ON zb.doc_id = p.b_id
+        WHERE p.common * 1.0 / (za.n_sh + zb.n_sh - p.common) >= {{thr}}
+    ), sym AS (
+        SELECT a_id AS src, b_id AS dst FROM edges
+        UNION SELECT b_id, a_id FROM edges
+    ), nodes AS (
+        SELECT DISTINCT src AS doc_id FROM sym
+    ), reach AS (
+        WITH RECURSIVE r(root, node) AS (
+            SELECT doc_id, doc_id FROM nodes
+            UNION
+            SELECT r.root, s.dst FROM r JOIN sym s ON r.node = s.src
+        )
+        SELECT root, node FROM r
+    )
+    SELECT root AS doc_id, MIN(node) AS cluster_id
+    FROM reach
+    GROUP BY root
+"""
+
+
+@register(
+    "dedup_connected_components",
+    sql=_CC_ORACLE.format(thr=0.8, max_df=_NGRAM_MAX_DF),
+    desc="transitive near-dup clusters: connected components over >=0.8 Jaccard pairs",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of pairwise near-dup edges — the operator the
+    pairwise entries deliberately stop short of: doc A~B and B~C puts
+    A, B, C in ONE cluster (cluster_id = min doc_id in the component)
+    even when A and C share no shingle.
+
+    Spark-first iterative min-label propagation: every node starts with
+    label = own id; each round takes the min of its label and its
+    neighbors' labels; fixpoint after <= diameter rounds.  Each round
+    is one shuffle (groupBy node) over the EDGE set — which is the
+    candidate-pair set, orders of magnitude smaller than the corpus —
+    and `localCheckpoint` truncates lineage so the plan does not grow
+    with iterations (the classic iterative-DataFrame trap).  The DuckDB
+    oracle computes the same fixpoint via a recursive CTE, so the gate
+    pins an ITERATIVE distributed algorithm to a closed-form answer.
+    At 100 TB-scale graphs the round count is the large/small-star
+    bound; diameter of near-dup clusters is tiny in practice."""
+    from sparkml_som_spark.operators.registry import materialize_distributed
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    handles: list = []
+    pairs = shingle_pairs_with_jaccard(docs, n=3, max_df=_NGRAM_MAX_DF, cleanup=handles)
+    edges = pairs.where(F.col("jaccard_raw") >= 0.8).select("a_id", "b_id")
+    sym = (
+        edges.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .union(edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    for h in handles:
+        h.unpersist()
+    labels = min_label_components(sym)
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def min_label_components(sym: DataFrame) -> DataFrame:
+    """Min-label propagation to fixpoint over a SYMMETRIC edge set
+    (src, dst) -> (node, label) where label = min node id of the
+    connected component.  One shuffle per round over the edge set;
+    eager localCheckpoint per round truncates lineage so the plan stays
+    flat across iterations."""
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    while True:
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -141,3 +141,20 @@ def test_ngram_df_cap_hot_shingle(spark):
         for r in shingle_pairs_with_jaccard(df, n=3, max_df=64).collect()
     }
     assert cap_high == uncapped
+
+
+def test_min_label_components_transitive_chain(spark):
+    """A-B and B-C edges must put A,B,C in ONE cluster even though A-C
+    has no edge; disjoint pair stays its own cluster; long path (worst
+    diameter) converges."""
+    from sparkml_som_spark.operators.dedup import min_label_components
+
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (23, 24)]
+    sym = spark.createDataFrame(
+        edges + [(b, a) for a, b in edges], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["label"] for r in min_label_components(sym).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20, 24: 20}
