@@ -20,6 +20,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _warm_udf():
+    # built lazily so pyspark/pandas import cost stays inside main();
+    # annotation-free pandas_udf (future-annotations stringifies hints,
+    # and a function-local `pd` would break type-hint resolution)
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+
+    def _identity(v):
+        return v * 1.0
+
+    return F.pandas_udf(_identity, "double")
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from sparkml_som_spark.session import get_spark
@@ -36,16 +49,22 @@ def main() -> None:
     # warm the Python-worker/Arrow path too: the first pandas_udf in a
     # session pays worker spawn + Arrow init (~5 s across 32 cores),
     # which otherwise lands on whichever query happens to run first
-    import pandas as pd
     from pyspark.sql import functions as F
 
-    @F.pandas_udf("double")
-    def _warm(v: pd.Series) -> pd.Series:
-        return v * 1.0
-
     spark.range(1024).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).select(
-        _warm(F.col("id").cast("double"))
+        _warm_udf()(F.col("id").cast("double"))
     ).count()
+
+    # ... and the RDD-serialization/codegen path the SOM fit exercises
+    # (takeSample, mapPartitions block collect, pandas_udf transform):
+    # a 2x2 fit on 256 rows outside the timed region keeps first-query
+    # JIT out of the flagship's measurement
+    from sparkml_som_spark.som import SOM as _SOM
+
+    _wdf = spark.range(256).selectExpr(
+        "array(cast(id % 7 as double), cast(id % 5 as double)) as features"
+    )
+    _SOM(height=2, width=2, maxIter=2, seed=1).fit(_wdf)
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():

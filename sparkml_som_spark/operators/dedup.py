@@ -586,23 +586,22 @@ def min_label_components(sym: DataFrame) -> DataFrame:
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # carry the previous label through the checkpoint so convergence
+        # is a cheap scan of materialized blocks, not a join + count
+        # job against the previous round
+        stepped = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
+                F.col("label").alias("prev"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.where(F.col("label") != F.col("prev")).count()
+        labels = stepped.select("node", "label")
         if changed == 0:
             break
     return labels
