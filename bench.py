@@ -108,6 +108,26 @@ def main() -> None:
         timings["som_main_iters"] = float(model.summary.iterations)
 
     total = round(sum(v for k, v in timings.items() if k != "som_main_iters" and v > 0), 3)
+
+    # Apples-to-apples vs the frozen round-1 baseline: the registry GROWS
+    # every round, so the all-queries total alone would read as a perf
+    # regression when it's really added coverage.  `value_common` sums
+    # only queries present in BASELINE_QUERIES.json (round-1 set).
+    value_common = None
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE_QUERIES.json"
+    )
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base_q = json.load(f)
+        value_common = round(
+            sum(
+                v
+                for k, v in timings.items()
+                if k in base_q and k != "som_main_iters" and v > 0
+            ),
+            3,
+        )
     try:
         sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
     except ValueError:
@@ -123,6 +143,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "n_queries": len(timings),
+        "value_common_vs_r01": value_common,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)

@@ -110,8 +110,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_quality_score",
     "text_langid_ngram",
     "udtf_chunk_documents",
-    "word_freq_topk",
-    "posexplode_tokens",
+    "decontam_ngram_overlap",
+    "quality_repetition",
     "doc_fingerprint",
     "text_som_topics",
     "pipeline_clean_corpus",
