@@ -120,3 +120,29 @@ def som_count_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
         preds.where((F.col("prediction") >= 0) & (F.col("prediction") < n_cells))
         .agg(F.count("*").alias("n_rows"))
     )
+
+
+@register(
+    "som_hex_occupancy",
+    sql=None,  # iterative ML -> rows-only check
+    desc="hexagonal-topology SOM fit + per-cell occupancy (topology beyond the reference)",
+)
+def som_hex_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit a 3x3 HEXAGONAL map (the topology SOMParams.scala:63 declares
+    as planned-but-absent) and return per-cell occupancy.  Uses its own
+    small fit — the hex neighborhood metric is the thing under test, so
+    it cannot share the cached rectangular model."""
+    from sparkml_som_spark.som import SOM
+
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    model = SOM(
+        height=3, width=3, maxIter=5, seed=42, featuresCol="embedding",
+        topology="hexagonal", tMax=2.0, tMin=0.5,
+    ).fit(emb)
+    return (
+        model.transform(emb)
+        .groupBy("prediction")
+        .agg(F.count("*").alias("n_rows"))
+        .select(F.col("prediction").alias("cell"), "n_rows")
+        .orderBy("cell")
+    )

@@ -132,3 +132,31 @@ def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it; AvailableNow over a static dir is a single batch, so this is
     # one row per user — bounded by the user population.
     return out
+
+
+@register("stream_som_inference", desc="SOMModel.transform under Structured Streaming: per-cell counts from the sink (rows-only; batch transform is the oracle twin)")
+def stream_som_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model serving on a stream: the cached 5x5 SOM's pandas_udf BMU
+    kernel runs unchanged inside a streaming plan (same DataFrame API,
+    streaming physical plan).  Per-row predictions drain to the memory
+    sink; the bounded per-cell rollup happens on the sink contents.  At
+    scale the file source becomes Kafka and the memory sink a parquet/
+    kafka sink — the transform topology is identical."""
+    from pyspark.sql import functions as F
+
+    from sparkml_som_spark.operators.som_queries import fit_default_som
+
+    model, emb = fit_default_som(spark, sf_dir)
+    key = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(_SCRATCH, key, "emb_stream_src")
+    if not os.path.exists(path):
+        emb.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(emb.schema).parquet(path)
+    out = model.transform(stream).select("vec_id", "prediction")
+    sink = _run_to_memory(spark, out, f"sgs_stream_som_{key}".replace(".", "_"), "append")
+    return (
+        sink.groupBy("prediction")
+        .agg(F.count("*").alias("n_rows"))
+        .select(F.col("prediction").alias("cell"), "n_rows")
+        .orderBy("cell")
+    )
