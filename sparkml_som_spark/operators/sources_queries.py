@@ -105,3 +105,46 @@ def source_json_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 4).alias("sum_total"),
         )
     )
+
+
+@register(
+    "sink_partitioned_pruned_scan",
+    sql="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS sum_total
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_orderkey <= 4000
+    GROUP BY o_orderpriority
+    """,
+    desc="partitioned+sorted sink, then a partition-pruned scan back",
+)
+def sink_partitioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout round-trip: write an orders slice PARTITIONED BY
+    o_orderstatus and sorted by o_orderkey within partitions, then read
+    it back filtered to one status.  The filter becomes a partition
+    PRUNE (only the status=F directory is listed, tested in
+    test_plans.py), and the within-partition sort gives parquet min/max
+    row-group pruning on the key filter — the layout pattern that turns
+    a 100 TB scan into a single-partition read.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    slice_df = o.filter(F.col("o_orderkey") <= 4000).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    path = _scratch(sf_dir, "orders_part_sorted")
+    (
+        slice_df.repartition("o_orderstatus")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("sum_total"),
+        )
+    )

@@ -261,3 +261,47 @@ def asof_join_signup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id", "user_id", "ts", F.col("ts_signup").alias("signup_ts")
     )
+
+
+@register(
+    "window_analytic_suite",
+    sql="""
+    SELECT event_id, user_id,
+           ROUND(percent_rank() OVER w, 6)          AS pct_rank,
+           ROUND(cume_dist() OVER w, 6)             AS cume,
+           nth_value(value, 3) OVER w2              AS third_value,
+           first_value(value IGNORE NULLS) OVER w2  AS first_nn,
+           last_value(value IGNORE NULLS) OVER w2   AS last_nn
+    FROM events
+    WHERE user_id <= 40
+    WINDOW w  AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC),
+           w2 AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    desc="analytic window functions: percent_rank/cume_dist/nth_value/ignore-nulls first+last",
+)
+def window_analytic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rank-distribution and navigation window functions not covered
+    by the rank/lag suites: percent_rank, cume_dist, nth_value, and
+    IGNORE NULLS first/last navigation.  Frames are pinned explicitly —
+    nth_value/last_value give different answers under the default RANGE
+    frame, a classic cross-engine divergence; `(ts, event_id)` ordering
+    makes ties deterministic.  One shuffle on user_id serves all five
+    functions (same partition key, Catalyst collapses to one Window
+    node per frame spec)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") <= 40)
+    w = Window.partitionBy("user_id").orderBy(F.asc("value"), F.asc("event_id"))
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("value", 3).over(w2).alias("third_value"),
+        F.first("value", ignorenulls=True).over(w2).alias("first_nn"),
+        F.last("value", ignorenulls=True).over(w2).alias("last_nn"),
+    )

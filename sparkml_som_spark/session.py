@@ -43,6 +43,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # runtime bloom-filter pruning for large joins: the build side
+        # pushes a bloom filter into the probe side's scan, cutting the
+        # shuffled probe rows before the join — a pure win for the
+        # fact-fact joins (orders x lineitem) at 100 TB
+        # NOTE: runtimeFilter.semiJoinReduction hangs this Spark build on a
+        # bare parquet count (optimizer loop) — verified by bisection; do
+        # not enable it.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")

@@ -75,3 +75,21 @@ def test_whole_stage_codegen_in_hot_paths(spark, registry):
 
     for name in ["q1_pricing_summary", "string_funcs_parts", "date_funcs_orders"]:
         assert has_codegen(registry[name].fn(spark, SF)), name
+
+
+def test_partitioned_sink_scan_prunes(spark, registry):
+    """The read-back side of sink_partitioned_pruned_scan must plan a
+    partition PRUNE on o_orderstatus (the filter never touches data
+    files of other statuses) — the layout contract of the query."""
+    df = registry["sink_partitioned_pruned_scan"].fn(spark, SF)
+    plan = formatted_plan(df)
+    # partition filters appear as PartitionFilters on the scan node; the
+    # pruned column must NOT appear as a pushed data filter
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan, plan
+
+
+def test_window_analytic_suite_single_shuffle_per_frame(spark, registry):
+    """Five window functions over two frame specs on ONE partition key:
+    at most two exchanges (one per sort order), not one per function."""
+    df = registry["window_analytic_suite"].fn(spark, SF)
+    assert count_exchanges(df) <= 2, formatted_plan(df)
