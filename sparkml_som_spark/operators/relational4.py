@@ -417,3 +417,98 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+@register(
+    "recursive_cte_month_spine",
+    sql="""
+    WITH RECURSIVE spine(m) AS (
+        SELECT (SELECT date_trunc('month', MIN(o_orderdate)) FROM orders)
+        UNION ALL
+        SELECT m + INTERVAL 1 MONTH FROM spine
+        WHERE m < (SELECT date_trunc('month', MAX(o_orderdate)) FROM orders)
+    ), monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS m,
+               COUNT(*) AS n, SUM(o_totalprice) AS rev
+        FROM orders GROUP BY 1
+    )
+    SELECT CAST(s.m AS DATE)                          AS month,
+           CAST(COALESCE(y.n, 0) AS BIGINT)           AS n_orders,
+           ROUND(COALESCE(y.rev, 0.0), 4)             AS revenue
+    FROM spine s LEFT JOIN monthly y ON y.m = s.m
+    """,
+    desc="recursive CTE calendar spine joined to monthly order rollup (gap-preserving)",
+)
+def recursive_cte_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE month spine (Spark 4 recursive CTE support) from a
+    fixed epoch to max(o_orderdate), LEFT JOINed to the monthly revenue
+    rollup so empty months survive with zeros — the calendar-spine
+    pattern behind every gap-preserving time series report.
+
+    Scale shape: the recursion generates ~100 rows on the driver-side
+    plan (depth = months, data-independent), the rollup is one
+    partial+final aggregate of the fact scan, and the spine join
+    broadcasts.  The recursion's bounds are precomputed and inlined as
+    literals on the Spark side: a scalar subquery in the recursive
+    step's WHERE trips RECURSION_LEVEL_LIMIT_EXCEEDED here (and the
+    default level cap is 100, so the spine is anchored at the data's
+    min month, not a fixed epoch).  date_trunc on both engines returns a
+    timestamp-like month start; the CAST AS DATE pins a common output
+    type."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("r4_orders_v")
+    bounds = orders.selectExpr(
+        "date_format(date_trunc('MONTH', MIN(o_orderdate)), 'yyyy-MM-dd') AS lo",
+        "date_format(date_trunc('MONTH', MAX(o_orderdate)), 'yyyy-MM-dd') AS hi",
+    ).first()
+    return spark.sql(
+        f"""
+        WITH RECURSIVE spine(m) AS (
+            SELECT TIMESTAMP '{bounds["lo"]} 00:00:00'
+            UNION ALL
+            SELECT m + INTERVAL 1 MONTH FROM spine
+            WHERE m < TIMESTAMP '{bounds["hi"]} 00:00:00'
+        ), monthly AS (
+            SELECT date_trunc('MONTH', o_orderdate) AS m,
+                   COUNT(*) AS n, SUM(o_totalprice) AS rev
+            FROM r4_orders_v GROUP BY 1
+        )
+        SELECT CAST(s.m AS DATE)                 AS month,
+               CAST(COALESCE(y.n, 0) AS BIGINT)  AS n_orders,
+               ROUND(COALESCE(y.rev, 0.0), 4)    AS revenue
+        FROM spine s LEFT JOIN monthly y ON y.m = s.m
+        """
+    )
+
+
+@register(
+    "lateral_top2_customers",
+    sql="""
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n, LATERAL (
+        SELECT c_name, c_acctbal FROM customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_name ASC LIMIT 2
+    ) t
+    """,
+    desc="correlated LATERAL subquery: top-2 customers per nation",
+)
+def lateral_top2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL top-k (the SQL:1999 lateral-derived-table
+    surface; Spark 4 plans it as a lateral join).  Same result as the
+    window row_number<=2 formulation (`window_topk_orders_per_customer`
+    shape) — registered via SQL text because the LATERAL surface itself
+    is the operator under test.  Ties broken by (acctbal DESC, name
+    ASC) so both engines pick identical rows."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("r4_nation_v")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("r4_customer_v")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM r4_nation_v n, LATERAL (
+            SELECT c_name, c_acctbal FROM r4_customer_v
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_name ASC LIMIT 2
+        ) t
+        """
+    )
