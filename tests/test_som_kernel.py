@@ -135,3 +135,19 @@ def test_hex_fit_runs_and_differs_from_rect():
     W_rect = K.neighborhood(K.grid_distances(2, 3, "rectangular"), 1.5, "rectangular")
     assert W_hex.shape == W_rect.shape
     assert (W_hex != W_rect).any()
+
+
+def test_hex_metric_properties():
+    """Metric axioms on a larger hex grid: symmetry, identity,
+    triangle inequality, and unit-distance neighborhoods of size
+    <= 6 (interior cells have exactly 6 hex neighbours)."""
+    H, W = 5, 7
+    d = K.grid_distances(H, W, "hexagonal")
+    n = H * W
+    assert (d == d.T).all() and (np.diag(d) == 0).all()
+    assert (d[~np.eye(n, dtype=bool)] > 0).all()
+    # triangle inequality over all (i,j,k): d[i,k] <= d[i,j] + d[j,k]
+    assert (d[:, None, :] <= d[:, :, None] + d[None, :, :]).all()
+    # neighbour counts: interior cells have exactly 6 cells at distance 1
+    counts = (d == 1).sum(axis=1)
+    assert counts.max() == 6 and counts.min() >= 2
