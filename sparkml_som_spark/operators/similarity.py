@@ -290,3 +290,31 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_sum",
         F.round("err_raw", 6).alias("max_err"),
     )
+
+
+@register(
+    "embedding_pca_variance",
+    sql=None,  # iterative/eigen ML -> rows-only check
+    desc="PCA explained-variance profile of the embedding space (pyspark.ml integration)",
+)
+def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit pyspark.ml PCA(k=8) on the embedding column and return the
+    per-component explained-variance ratio — the dimensionality check
+    run before choosing an ANN index or quantization budget.
+
+    Scale: PCA's fit is one treeAggregate of a (d x d) Gramian —
+    driver state is O(d^2), independent of row count; the transform is
+    a broadcast matrix multiply.  Deterministic for a fixed corpus
+    (eigendecomposition of the covariance; no sampling)."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = PCA(k=8, inputCol="features", outputCol="pc").fit(emb)
+    ev = [float(v) for v in model.explainedVariance]
+    return spark.createDataFrame(
+        [(i, round(v, 6)) for i, v in enumerate(ev)],
+        "component int, explained_variance double",
+    )

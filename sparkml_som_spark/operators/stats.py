@@ -136,3 +136,56 @@ def media_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_copies"),
         F.round(F.avg("n_bytes"), 4).alias("avg_bytes"),
     )
+
+
+@register(
+    "grouped_map_ols_per_source",
+    sql="""
+    SELECT source,
+           ROUND(regr_slope(n_chars, n_tok), 6)     AS slope,
+           ROUND(regr_intercept(n_chars, n_tok), 6) AS intercept,
+           CAST(COUNT(*) AS BIGINT)                 AS n
+    FROM (
+        SELECT source, n_chars,
+               len(string_split(lower(text), ' ')) AS n_tok
+        FROM documents
+    )
+    GROUP BY source
+    """,
+    desc="applyInPandas grouped-map: per-source OLS fit, oracle = regr_slope/intercept",
+)
+def grouped_map_ols_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grouped-map (`groupBy().applyInPandas`) surface with a REAL
+    oracle: each source's (token count -> char count) OLS line is fit
+    with NumPy inside the group function, and DuckDB's closed-form
+    regr_slope/regr_intercept must reproduce it exactly.
+
+    This is the model-per-group pattern (per-tenant forecaster,
+    per-segment calibration).  Scale: one shuffle on the group key;
+    each group's pandas frame must fit an executor — true for
+    per-source/per-tenant groups, and the reason the SOM does NOT use
+    grouped-map for its global codebook (it uses mapInPandas partial
+    aggregation instead, see SCALE.md)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.col("n_chars").cast("double").alias("n_chars"),
+        F.size(F.split(F.lower("text"), " ")).cast("double").alias("n_tok"),
+    )
+
+    def fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        x, y = pdf["n_tok"].to_numpy(), pdf["n_chars"].to_numpy()
+        # closed-form OLS (matches regr_slope/regr_intercept definitions)
+        xm, ym = x.mean(), y.mean()
+        slope = ((x - xm) * (y - ym)).sum() / ((x - xm) ** 2).sum()
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "slope": [round(slope, 6)],
+                "intercept": [round(ym - slope * xm, 6)],
+                "n": [len(pdf)],
+            }
+        )
+
+    return docs.groupBy("source").applyInPandas(
+        fit_group, schema="source string, slope double, intercept double, n long"
+    )
