@@ -266,3 +266,17 @@ def test_hexagonal_topology_end_to_end(spark, small_df):
     preds = [r["prediction"] for r in hex_m.transform(small_df).collect()]
     assert all(0 <= p < 9 for p in preds)
     assert not np.allclose(hex_m.prototypes, rect_m.prototypes)
+
+
+def test_hexagonal_model_save_load(spark, small_df, tmp_path):
+    """Topology must survive persistence — a reloaded hex model keeps
+    hex neighborhoods (param metadata) and identical predictions."""
+    path = str(tmp_path / "hex_model")
+    model = SOM(height=2, width=3, maxIter=3, seed=5, topology="hexagonal").fit(small_df)
+    model.save(path)
+    loaded = SOMModel.load(spark, path)
+    assert loaded.getTopology() == "hexagonal"
+    np.testing.assert_allclose(loaded.prototypes, model.prototypes)
+    a = [r["prediction"] for r in model.transform(small_df).collect()]
+    b = [r["prediction"] for r in loaded.transform(small_df).collect()]
+    assert a == b
