@@ -512,3 +512,31 @@ def lateral_top2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+@register(
+    "variant_json_events",
+    sql="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT)                              AS n,
+           CAST(SUM(CAST(props->>'$.k' AS INT)) AS BIGINT)       AS sum_k,
+           ROUND(AVG(CAST(props->>'$.k' AS INT)), 4)             AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+    desc="VARIANT-typed semi-structured access: parse_json + variant_get",
+)
+def variant_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 VARIANT surface: `parse_json` decodes the props JSON
+    into the binary variant encoding once, `variant_get` does typed
+    path access — unlike `get_json_object` (string re-parse per
+    extraction, see json_extract_events), repeated extractions share
+    one parse, which is the semi-structured scan pattern at scale.
+    The DuckDB oracle extracts the same path with `->>`."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+    )

@@ -148,3 +148,37 @@ def sink_partitioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 4).alias("sum_total"),
         )
     )
+
+
+@register(
+    "source_python_datasource",
+    sql="""
+    SELECT 'src' || CAST(d % 20 AS VARCHAR)      AS source,
+           CAST(COUNT(*) AS BIGINT)              AS n_docs,
+           CAST(SUM(20 + (d * 7) % 180) AS BIGINT) AS total_tokens
+    FROM range(0, 5000) t(d)
+    GROUP BY 1
+    """,
+    desc="custom Python DataSource scan (Spark 4 API) under the value-hash oracle",
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan a CUSTOM Python Data Source (Spark 4 `pyspark.sql.datasource`
+    API) and aggregate — the pluggable-source surface a bespoke corpus
+    format would implement.  The generator is a pure function of the row
+    id, so the DuckDB oracle recomputes identical rows from `range(n)`
+    and the custom source sits under the full value-hash gate.  The
+    partition-count independence contract is pinned in
+    `tests/test_sources.py`."""
+    from sparkml_som_spark.sources.pydatasource import ensure_registered
+
+    ensure_registered(spark)
+    docs = (
+        spark.read.format("synthdocs")
+        .option("n", 5000)
+        .option("partitions", 8)
+        .load()
+    )
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )

@@ -51,3 +51,25 @@ def test_read_any_infers_format(spark, tmp_path):
     out = str(tmp_path / "emb.parquet")
     write_any(emb, out)
     assert read_any(spark, out).count() == emb.count()
+
+
+def test_python_datasource_partition_independence(spark):
+    """The custom DataSource must yield identical rows for ANY partition
+    count — the correctness contract of a sharded source (each split
+    derives its range independently; no overlap, no gaps)."""
+    from sparkml_som_spark.sources.pydatasource import ensure_registered
+
+    ensure_registered(spark)
+
+    def rows(parts):
+        df = (
+            spark.read.format("synthdocs")
+            .option("n", 997)  # prime: uneven split boundaries
+            .option("partitions", parts)
+            .load()
+        )
+        assert df.rdd.getNumPartitions() == parts
+        return sorted(tuple(r) for r in df.collect())
+
+    a, b, c = rows(1), rows(4), rows(13)
+    assert a == b == c and len(a) == 997
