@@ -394,3 +394,41 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("ent"), 4).alias("min_entropy"),
         F.round(F.max("ent"), 4).alias("max_entropy"),
     )
+
+
+@register(
+    "observed_corpus_metrics",
+    sql="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(count_if(n_chars > 300) AS BIGINT) AS n_long,
+           ROUND(AVG(n_chars), 4) AS avg_chars,
+           CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS total_tokens
+    FROM documents
+    """,
+    desc="df.observe: data-quality metrics collected ON the pass, no second scan",
+)
+def observed_corpus_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Observation API: metrics (row count, long-doc count, average
+    length, token total) accumulate ON a pass over the data — at 100 TB
+    this is how a pipeline gets its data-quality dashboard for free,
+    piggybacked on a pass it already runs, instead of a second scan.
+    Here the pass is forced with a count() so the gate can read the
+    observed values; in production the pass is the real write/transform.
+    The oracle recomputes the same metrics declaratively."""
+    from pyspark.sql import Observation
+
+    docs = load_table(spark, sf_dir, "documents")
+    obs = Observation("corpus_metrics")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("n_chars") > 300).alias("n_long"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.sum(F.size(word_tokens(F.col("text")))).alias("total_tokens"),
+    )
+    observed.count()  # force the pass; obs.get blocks until it completes
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_docs"], m["n_long"], m["avg_chars"], m["total_tokens"])],
+        "n_docs long, n_long long, avg_chars double, total_tokens long",
+    )

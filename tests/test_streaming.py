@@ -140,3 +140,40 @@ def test_interval_join_stream_matches_batch(spark, event_stream):
     )
     assert len(_as_sets(got)) > 0
     assert _as_sets(got) == _as_sets(want)
+
+
+def test_transform_with_state_matches_applyinpandas(spark, event_stream, tmp_path):
+    """The Spark-4 transformWithStateInPandas profile must equal the
+    applyInPandasWithState profile on the same single-batch stream.
+
+    Skipped where google.protobuf is unusable: the TWS runtime's state
+    protocol needs it (`StateMessage_pb2`), and this container ships a
+    broken protobuf install (no pip allowed).  The operator itself is
+    import-gated the same way."""
+    pytest.importorskip("google.protobuf.descriptor")
+
+    from sparkml_som_spark.streaming.stateful import (
+        stateful_user_profile,
+        stateful_user_profile_tws,
+    )
+
+    def drain(out, name):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        return {
+            r["user_id"]: (r["n_events"], r["total_value"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+
+    stream, _batch = event_stream
+    old = drain(stateful_user_profile(stream), "tws_old")
+    new = drain(stateful_user_profile_tws(stream), "tws_new")
+    assert old == new and len(old) > 0
