@@ -80,7 +80,7 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (benchmarks are tiny; the corpus is not), so contamination is a
     broadcast semi-join on a single corpus scan — the corpus is never
     shuffled.  Per-source output keeps the result bounded."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     sh = docs.select(
         "doc_id",
         "source",
@@ -162,7 +162,7 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     branch each SELECT from the scan independently (two cheap parquet
     reads) instead of sharing one wide `base` whose shingle arrays
     Spark would recompute per branch."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     t = word_tokens(F.col("text"))
     n = F.size(t)
     # non-distinct shingles (occurrences matter): elementwise join of
@@ -319,7 +319,7 @@ def redact_blocklist_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     transforms with partial aggregation — no shuffle beyond the bounded
     per-source rollup.  DuckDB needs the 'g' flag on regexp_replace
     (Spark replaces all matches by default)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     low = F.lower(F.col("text"))
     return docs.groupBy("source").agg(
         F.sum(F.regexp_count(low, F.lit(_BLOCK_RE))).alias("n_redactions"),
@@ -366,7 +366,7 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggregate collapses them map-side to at most
     doc x alphabet before any shuffle — the shuffled row count is
     bounded by ~100 per doc regardless of document length."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     # split('') yields one element per character (verified: no empty
     # sentinel on this Spark); the per-index substr form is O(n^2) per
     # document and measured ~3x slower
@@ -417,7 +417,7 @@ def observed_corpus_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle recomputes the same metrics declaratively."""
     from pyspark.sql import Observation
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     obs = Observation("corpus_metrics")
     observed = docs.observe(
         obs,
