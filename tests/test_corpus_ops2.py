@@ -78,3 +78,54 @@ def test_repetition_fractions_in_range(spark, registry):
         assert 0 <= r["n_repetitive"] <= r["n_docs"]
         assert 0.0 <= r["avg_dup_trigram"] <= 1.0
         assert 0.0 < r["avg_top_bigram"] <= 2.0
+
+
+def test_pack_binning_property(spark):
+    """Randomized packing invariants, brute-force checked in Python:
+    bin ids are contiguous from 1, every bin's cumulative end stays
+    within bin_id * budget, and each doc lands in exactly the bin its
+    running cumsum dictates."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    budget = 50
+    rows = [(i, "s%d" % (i % 3), rng.randint(1, 49)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens int")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = {
+        (r["source"], r["doc_id"]): r["bin"]
+        for r in df.withColumn(
+            "bin", F.floor((F.sum("n_tokens").over(w) + (budget - 1)) / float(budget))
+        ).collect()
+    }
+    # brute force
+    by_src = {}
+    for i, s, n in sorted(rows):
+        cum = by_src.get(s, 0) + n
+        by_src[s] = cum
+        want = -(-cum // budget)  # ceil
+        assert got[(s, i)] == want
+
+
+def test_sample_hash_rate_and_determinism(spark):
+    """md5-prefix <= '1f' selects ~32/256 of uniformly distributed ids,
+    and the SAME ids under any engine-side evaluation order."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(20000).select(F.col("id").alias("doc_id"))
+    keep = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) <= "1f"
+    n = df.where(keep).count()
+    assert 0.105 <= n / 20000 <= 0.145  # 12.5% +- binomial noise
+    import hashlib
+
+    py = sum(
+        1 for i in range(20000) if hashlib.md5(str(i).encode()).hexdigest()[:2] <= "1f"
+    )
+    assert n == py
