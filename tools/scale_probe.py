@@ -1,0 +1,56 @@
+"""Measure how representative queries scale across sf0.001 -> 0.1
+(100x rows).  Near-flat wall-clock growth at local scale means the cost
+is job-launch floor + per-row work, with no superlinear term (the thing
+that would explode at 100 TB).  Results table lives in SCALE.md.
+
+Usage: PYTHONPATH=/root/repo python tools/scale_probe.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+QUERIES = [
+    "q3_shipping_priority",        # broadcast-dim join + agg
+    "q12_priority_class",          # fact-fact shuffle join
+    "window_topk_orders_per_customer",  # window on one shuffle
+    "dedup_minhash_lsh",           # banded LSH candidate generation
+    "decontam_ngram_overlap",      # broadcast semi-join on corpus scan
+    "char_entropy_quality",        # explode + map-side-combined agg
+    "som_count_invariant",         # SOM fit + transform pass
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from sparkml_som_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+    out: dict[str, list[float]] = {}
+    for name in QUERIES:
+        fn = queries[name]
+        times = []
+        for sf in SFS:
+            fn(spark, sf).collect()  # warm (cache fits, JIT)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, sf).collect()
+                best = min(best, time.time() - t0)
+            times.append(round(best, 3))
+        out[name] = times
+        print(name, times, flush=True)
+    print(json.dumps({"sfs": [0.001, 0.01, 0.1], "seconds": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
