@@ -280,21 +280,67 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.select("a_id", "b_id", F.round("jaccard_raw", 4).alias("jaccard"))
 
 
+# 60-bit md5-based SimHash: 15 md5 hex chars -> BIGINT is expressible in
+# BOTH engines (Spark conv(,16,10); DuckDB '0x'||hex cast), which is what
+# puts SimHash under the full value-hash oracle — xxhash64 (round-1 hash)
+# has no DuckDB twin and forced a rows-only check.  4 bands x 15 bits
+# keeps the hamming<=3 pigeonhole guarantee.
+_SIMHASH_BITS = 60
+_SIMHASH_BANDS = 4
+_SIMHASH_BAND_BITS = 15
+_SIMHASH_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+    ), tc AS (
+        SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY 1, 2
+    ), hashed AS (
+        SELECT doc_id, cnt,
+               CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+        FROM tc
+    ), votes AS (
+        SELECT doc_id,
+               {", ".join(f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN cnt ELSE -cnt END) AS v{i}" for i in range(_SIMHASH_BITS))}
+        FROM hashed GROUP BY doc_id
+    ), fps AS (
+        SELECT doc_id,
+               {" + ".join(f"((CASE WHEN v{i} > 0 THEN 1 ELSE 0 END)::BIGINT << {i})" for i in range(_SIMHASH_BITS))} AS fp
+        FROM votes
+    ), buckets AS (
+        SELECT doc_id, fp, b.band,
+               (fp >> (b.band * {_SIMHASH_BAND_BITS})) & {(1 << _SIMHASH_BAND_BITS) - 1} AS sig
+        FROM fps, (SELECT unnest(range(0, {_SIMHASH_BANDS})) AS band) b
+    ), cand AS (
+        SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+               x.fp AS fp_a, y.fp AS fp_b
+        FROM buckets x JOIN buckets y
+          ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+    )
+    SELECT a_id, b_id,
+           CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
+"""
+
+
 @register(
     "dedup_simhash",
-    sql=None,  # xxhash64 has no DuckDB twin -> rows-only check
-    desc="near-dup pairs via 64-bit SimHash, hamming distance <= 3",
+    sql=_SIMHASH_ORACLE,
+    desc="near-dup pairs via 60-bit md5 SimHash, hamming distance <= 3 (full oracle)",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash: per token, xxhash64 -> 64 bit columns vote +1/-1 weighted
-    by token count; fingerprint bit i = sign of vote i. Banded into 4x16
-    bits for candidate generation (hamming <= 3 guarantees >= 1 identical
-    band), then exact hamming verify. All JVM-side bit arithmetic.
-    """
+    """SimHash: per token, a 60-bit md5-derived hash -> bit columns vote
+    +1/-1 weighted by token count; fingerprint bit i = sign of vote i.
+    Banded into 4x15 bits for candidate generation (hamming <= 3
+    guarantees >= 1 identical band), then exact hamming verify.  All
+    JVM-side bit arithmetic; the md5 hash (vs round-1's xxhash64) makes
+    the whole pipeline reproducible in DuckDB, so this is oracle-checked
+    end to end rather than rows-only."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
     toks = docs.select("doc_id", F.explode(word_tokens(F.col("text"))).alias("tok"))
     tok_counts = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
-    h = tok_counts.withColumn("h", F.xxhash64("tok"))
+    h = tok_counts.withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    )
     # vote per bit: sum(cnt if bit set else -cnt)
     bit_votes = h.groupBy("doc_id").agg(
         *[
@@ -303,19 +349,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                     -F.col("cnt")
                 )
             ).alias(f"v{i}")
-            for i in range(64)
+            for i in range(_SIMHASH_BITS)
         ]
     )
     fp_expr = None
-    for i in range(64):
+    for i in range(_SIMHASH_BITS):
         bit = F.when(F.col(f"v{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
         term = F.shiftleft(bit, i)
         fp_expr = term if fp_expr is None else fp_expr.bitwiseXOR(term)
     fps = bit_votes.select("doc_id", fp_expr.alias("fp"))
 
     bands = [
-        F.shiftright(F.col("fp"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias(f"band{b}")
-        for b in range(4)
+        F.shiftright(F.col("fp"), b * _SIMHASH_BAND_BITS)
+        .bitwiseAND(F.lit((1 << _SIMHASH_BAND_BITS) - 1))
+        .alias(f"band{b}")
+        for b in range(_SIMHASH_BANDS)
     ]
     banded = fps.select("doc_id", "fp", *bands)
     buckets = banded.select(
@@ -325,7 +373,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(
                 *[
                     F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("sig"))
-                    for b in range(4)
+                    for b in range(_SIMHASH_BANDS)
                 ]
             )
         ).alias("bk"),
@@ -347,7 +395,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        cand.withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("long"),
+        )
         .where(F.col("hamming") <= 3)
         .select("a_id", "b_id", "hamming")
     )
