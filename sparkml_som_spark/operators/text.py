@@ -111,8 +111,32 @@ def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_langid_ngram",
-    sql=None,  # scoring model lives in Python -> rows-only check
-    desc="language-ID: character-trigram profile similarity (deterministic)",
+    sql="""
+    WITH grams AS (
+        SELECT doc_id, lang, substr(lower(text), i, 3) AS g
+        FROM documents, unnest(range(1, greatest(length(text) - 2, 0) + 1)) AS u(i)
+    ), dg AS (
+        SELECT doc_id, lang, g, COUNT(*) AS dcnt FROM grams GROUP BY 1, 2, 3
+    ), prof AS (
+        SELECT lang, g FROM (
+            SELECT lang, g,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY SUM(dcnt) DESC, g ASC) AS rk
+            FROM dg GROUP BY lang, g
+        ) WHERE rk <= 50
+    ), scores AS (
+        SELECT d.doc_id, p.lang, SUM(d.dcnt) AS score
+        FROM dg d JOIN prof p ON p.g = d.g
+        GROUP BY 1, 2
+    )
+    SELECT doc_id, lang AS predicted_lang, score FROM (
+        SELECT doc_id, lang, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, lang ASC) AS rk
+        FROM scores
+    ) WHERE rk = 1
+    """,
+    desc="language-ID: character-trigram profile similarity (full oracle)",
 )
 def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-trigram language ID. Profiles are built per declared
@@ -121,7 +145,10 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Two-pass shape at scale: pass 1 is a bounded aggregation (langs x
     trigrams), pass 2 a broadcast of the tiny profile table + a
-    per-doc score, no shuffle beyond the profile build.
+    per-doc score, no shuffle beyond the profile build.  The whole
+    model (profile build, tie rules rank-desc-then-gram-asc / score-
+    desc-then-lang-asc) is declarative, so the DuckDB oracle replays it
+    exactly — upgraded from round 1's rows-only check.
     """
     from pyspark.sql import Window
 
