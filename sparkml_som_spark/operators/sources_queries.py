@@ -182,3 +182,57 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
+
+
+@register(
+    "source_csv_corrupt_records",
+    sql="""
+    SELECT CAST(count_if(o_orderkey % 10 <> 0) AS BIGINT) AS n_good,
+           CAST(count_if(o_orderkey % 10 = 0) AS BIGINT)  AS n_corrupt,
+           ROUND(SUM(CASE WHEN o_orderkey % 10 <> 0
+                          THEN o_totalprice ELSE 0 END), 4) AS sum_total_good
+    FROM orders
+    WHERE o_orderkey <= 2000
+    """,
+    desc="PERMISSIVE csv parse: corrupt rows quarantined, clean rows aggregated",
+)
+def source_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The malformed-input path every real 100 TB ingest hits: rows with
+    un-parseable fields must be QUARANTINED (counted, inspectable), not
+    crash the job and not silently vanish.  A deterministic 10% of the
+    slice (o_orderkey % 10 == 0) is corrupted on write ('N/A' in a
+    double column); the read uses PERMISSIVE mode with a
+    _corrupt_record column, so bad rows surface with the raw line
+    preserved.  Because the corruption is a pure function of the key,
+    the oracle derives the same good/corrupt split from the clean
+    table.  FAILFAST/DROPMALFORMED are the same reader one option away."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
+    path = _scratch(sf_dir, "orders_corrupt_csv")
+    # corrupt on write, fully distributed: each executor emits its own
+    # csv text lines ('N/A' is unparseable in the double column)
+    (
+        o.select(
+            F.concat_ws(
+                ",",
+                F.col("o_orderkey").cast("string"),
+                F.when(F.col("o_orderkey") % 10 == 0, F.lit("N/A")).otherwise(
+                    F.col("o_totalprice").cast("string")
+                ),
+            ).alias("value")
+        )
+        .write.mode("overwrite")
+        .text(path)
+    )
+    back = spark.read.schema(
+        "o_orderkey long, o_totalprice double, _corrupt_record string"
+    ).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).csv(path)
+    return back.agg(
+        F.count_if(F.col("_corrupt_record").isNull()).alias("n_good"),
+        F.count_if(F.col("_corrupt_record").isNotNull()).alias("n_corrupt"),
+        F.round(
+            F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("o_totalprice")).otherwise(0.0)),
+            4,
+        ).alias("sum_total_good"),
+    )
