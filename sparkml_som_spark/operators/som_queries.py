@@ -146,3 +146,86 @@ def som_hex_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("prediction").alias("cell"), "n_rows")
         .orderBy("cell")
     )
+
+
+@register(
+    "som_umatrix",
+    sql=None,  # derived from the fitted model -> rows-only check
+    desc="U-matrix: per-cell mean distance to grid-neighbor prototypes",
+)
+def som_umatrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic SOM analysis surface the reference stops short of:
+    the unified distance matrix (mean Euclidean distance from each
+    cell's prototype to its grid-neighbors' prototypes).  High-U cells
+    are cluster boundaries.  Pure NumPy over the cached model's
+    (n_cells, d) codebook — O(cells^2) driver work on a bounded grid,
+    no cluster jobs beyond the (cached) fit."""
+    import numpy as np
+
+    from sparkml_som_spark.som import kernel as K
+
+    model, _emb = fit_default_som(spark, sf_dir)
+    cb = model.prototypes
+    h, w = model.getHeight(), model.getWidth()
+    grid = K.grid_distances(h, w, model.getTopology())
+    rows = []
+    for c in range(h * w):
+        nbrs = np.flatnonzero(grid[c] == 1)
+        dist = float(np.linalg.norm(cb[nbrs] - cb[c], axis=1).mean())
+        rows.append((c, len(nbrs), round(dist, 6)))
+    return spark.createDataFrame(rows, "cell int, n_neighbors int, u_height double")
+
+
+@register(
+    "som_topographic_error",
+    sql=None,  # needs 2nd-best BMU -> rows-only check
+    desc="topographic error: fraction of samples whose top-2 BMUs are not grid-adjacent",
+)
+def som_topographic_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topographic error — the standard SOM quality metric alongside
+    quantization error: the fraction of samples whose first and second
+    BMUs are NOT neighbors on the grid (a twisted/folded map scores
+    high).  One distributed pass: a pandas_udf computes (bmu1, bmu2)
+    per Arrow batch from the broadcast codebook; adjacency is decided
+    JVM-side against the broadcast (cell, cell) neighbor pair set, and
+    one global aggregate returns a single row."""
+    import pandas as pd
+
+    from sparkml_som_spark.som import kernel as K
+
+    model, emb = fit_default_som(spark, sf_dir)
+    cb = model.prototypes
+    h, w = model.getHeight(), model.getWidth()
+    grid = K.grid_distances(h, w, model.getTopology())
+    bc = spark.sparkContext.broadcast(cb)
+
+    # annotation-free: module-level `from __future__ import annotations`
+    # stringifies hints and the function-local `pd` import breaks their
+    # resolution (see memory: pandas_udf pitfalls) — pass returnType only
+    def _top2(arrs):
+        import numpy as np
+
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in arrs])
+        b1, b2 = K.find_bmu_top2(x, bc.value)
+        return pd.DataFrame({"bmu1": b1.astype("int32"), "bmu2": b2.astype("int32")})
+
+    top2_udf = F.pandas_udf(_top2, "bmu1 int, bmu2 int")
+
+    import numpy as np
+
+    adj_pairs = [
+        (int(a), int(b)) for a in range(h * w) for b in np.flatnonzero(grid[a] == 1)
+    ]
+    adj = spark.createDataFrame(adj_pairs, "bmu1 int, bmu2 int").withColumn(
+        "is_adj", F.lit(1)
+    )
+    top2 = emb.select(top2_udf(F.col("embedding").cast("array<double>")).alias("t")).select(
+        "t.bmu1", "t.bmu2"
+    )
+    joined = top2.join(F.broadcast(adj), ["bmu1", "bmu2"], "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.round(F.avg(F.when(F.col("is_adj").isNull(), 1.0).otherwise(0.0)), 6).alias(
+            "topographic_error"
+        ),
+    )

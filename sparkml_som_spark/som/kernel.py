@@ -216,3 +216,16 @@ def smooth_update(
 def max_movement2(old: np.ndarray, new: np.ndarray) -> float:
     """Max squared prototype displacement — convergence stat (`SOM.scala:240-242`)."""
     return float(((new - old) ** 2).sum(axis=1).max())
+
+
+def find_bmu_top2(batch: np.ndarray, codebook: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """First- and second-best matching unit per row (for topographic
+    error: are BMU1 and BMU2 grid-adjacent?).  argpartition keeps it
+    O(n*k) instead of a full sort."""
+    d2 = squared_distances(batch, codebook)
+    top2 = np.argpartition(d2, 1, axis=1)[:, :2]
+    # argpartition does not order the two; fix with a comparison
+    row = np.arange(len(d2))
+    swap = d2[row, top2[:, 0]] > d2[row, top2[:, 1]]
+    top2[swap] = top2[swap][:, ::-1]
+    return top2[:, 0], top2[:, 1]

@@ -151,3 +151,16 @@ def test_hex_metric_properties():
     # neighbour counts: interior cells have exactly 6 cells at distance 1
     counts = (d == 1).sum(axis=1)
     assert counts.max() == 6 and counts.min() >= 2
+
+
+def test_find_bmu_top2_ordering():
+    """top-2 BMUs: first is the argmin, second is the runner-up, and
+    both agree with a brute-force sort."""
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(40, 6))
+    cb = rng.normal(size=(9, 6))
+    b1, b2 = K.find_bmu_top2(x, cb)
+    d2 = ((x[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+    order = d2.argsort(axis=1)
+    assert (b1 == order[:, 0]).all()
+    assert (b2 == order[:, 1]).all()
