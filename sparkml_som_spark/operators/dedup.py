@@ -625,10 +625,15 @@ def min_label_components(sym: DataFrame) -> DataFrame:
     connected component.  One shuffle per round over the edge set;
     eager localCheckpoint per round truncates lineage so the plan stays
     flat across iterations."""
+    # fold round 1 into initialization: label = min(node, one-hop min).
+    # Same aggregate shape as the identity init (one groupBy over the
+    # edge set) but saves a full propagate-join-checkpoint round —
+    # near-dup components have tiny diameters, so this is often a third
+    # of the rounds.
     labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("nbr_min"))
+        .select("node", F.least(F.col("node"), F.col("nbr_min")).alias("label"))
         .localCheckpoint(eager=True)
     )
     while True:
