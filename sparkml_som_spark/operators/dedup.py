@@ -661,3 +661,51 @@ def min_label_components(sym: DataFrame) -> DataFrame:
         if changed == 0:
             break
     return labels
+
+
+@register(
+    "dedup_incremental_exact",
+    sql="""
+    WITH fp AS (
+        SELECT doc_id, source, md5(lower(trim(text))) AS fp
+        FROM documents
+    ), existing AS (
+        SELECT DISTINCT fp FROM fp WHERE doc_id < 250
+    ), incoming AS (
+        SELECT * FROM fp WHERE doc_id >= 250
+    )
+    SELECT i.source,
+           CAST(COUNT(*) AS BIGINT) AS n_incoming,
+           CAST(count_if(e.fp IS NOT NULL) AS BIGINT) AS n_dup_of_existing,
+           CAST(count_if(e.fp IS NULL) AS BIGINT)     AS n_new_unique
+    FROM incoming i LEFT JOIN existing e ON e.fp = i.fp
+    GROUP BY i.source
+    """,
+    desc="incremental ingest dedup: delta batch vs existing-corpus fingerprint index",
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL shape of exact dedup: a new ingest batch is
+    checked against the existing corpus's fingerprint index, without
+    re-deduplicating the corpus.  At 100 TB this is the only affordable
+    form — the index (one md5 per doc, ~2% of corpus bytes) lives as a
+    bucketed table keyed by fingerprint, the delta joins against it
+    (broadcast when the delta is small, shuffle-on-fp when not), and
+    existing-vs-existing pairs are never recomputed.  Here the split is
+    doc_id < 250 = existing, >= 250 = incoming; the output audits each
+    incoming source for how much of it is already known."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", "source", F.md5(F.lower(F.trim(F.col("text")))).alias("fp")
+    )
+    existing = fp.where(F.col("doc_id") < 250).select("fp").distinct()
+    incoming = fp.where(F.col("doc_id") >= 250)
+    known = existing.withColumn("known", F.lit(1))
+    return (
+        incoming.join(known, "fp", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_incoming"),
+            F.count_if(F.col("known").isNotNull()).alias("n_dup_of_existing"),
+            F.count_if(F.col("known").isNull()).alias("n_new_unique"),
+        )
+    )
