@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 
-VALID_TOPOLOGIES = ("rectangular", "hexagonal")
+VALID_TOPOLOGIES = ("rectangular", "hexagonal", "toroidal")
 VALID_KERNELS = ("gaussian", "rectangular")
 VALID_DECAYS = ("exponential", "linear")
 
@@ -31,6 +31,10 @@ def grid_distances(height: int, width: int, topology: str = "rectangular") -> np
     planned-but-absent (`SOMParams.scala:63` "hexagonal will soon be
     added"); implementing it here closes that stated gap.
 
+    toroidal: Manhattan distance with wrap-around on both axes (the
+    borderless variant from the SOM literature — edge cells get full
+    neighborhoods, removing the classic border-effect distortion).
+
     Computed once per fit, not per pair.
     """
     if topology not in VALID_TOPOLOGIES:
@@ -38,10 +42,13 @@ def grid_distances(height: int, width: int, topology: str = "rectangular") -> np
     ids = np.arange(height * width)
     rows = ids // width
     cols = ids % width
-    if topology == "rectangular":
-        return (
-            np.abs(rows[:, None] - rows[None, :]) + np.abs(cols[:, None] - cols[None, :])
-        ).astype(np.int64)
+    if topology in ("rectangular", "toroidal"):
+        dr = np.abs(rows[:, None] - rows[None, :])
+        dc = np.abs(cols[:, None] - cols[None, :])
+        if topology == "toroidal":
+            dr = np.minimum(dr, height - dr)
+            dc = np.minimum(dc, width - dc)
+        return (dr + dc).astype(np.int64)
     # odd-r offset -> axial (q, r) -> cube (x, y, z); dist = max(|d_cube|)
     q = cols - (rows - (rows & 1)) // 2
     x, z = q, rows

@@ -164,3 +164,31 @@ def test_find_bmu_top2_ordering():
     order = d2.argsort(axis=1)
     assert (b1 == order[:, 0]).all()
     assert (b2 == order[:, 1]).all()
+
+
+def test_toroidal_wrap_distances():
+    """4x5 torus: opposite edges are adjacent; max distance is
+    (H//2 + W//2); every cell sees an identical distance multiset
+    (vertex-transitive graph)."""
+    d = K.grid_distances(4, 5, "toroidal")
+    # (0,0) to (3,0): 3 down, or 1 up with wrap -> 1
+    assert d[0, 15] == 1
+    # (0,0) to (0,4): 4 right, or 1 left with wrap -> 1
+    assert d[0, 4] == 1
+    # (0,0) to (2,2): no wrap helps -> 2 + 2
+    assert d[0, 12] == 4
+    assert d.max() == 4 // 2 + 5 // 2
+    rows = [tuple(sorted(r)) for r in d]
+    assert len(set(rows)) == 1  # vertex-transitive
+    # metric axioms
+    assert (d == d.T).all() and (np.diag(d) == 0).all()
+    assert (d[:, None, :] <= d[:, :, None] + d[None, :, :]).all()
+
+
+def test_toroidal_fit_end_to_end(spark_not_needed=None):
+    """Neighborhood weights differ from flat rectangular (edge cells
+    gain wrapped neighbors)."""
+    W_tor = K.neighborhood(K.grid_distances(3, 4, "toroidal"), 1.0, "rectangular")
+    W_rect = K.neighborhood(K.grid_distances(3, 4, "rectangular"), 1.0, "rectangular")
+    assert (W_tor != W_rect).any()
+    assert (W_tor.sum(axis=1) >= W_rect.sum(axis=1)).all()
