@@ -160,3 +160,49 @@ def stream_som_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("prediction").alias("cell"), "n_rows")
         .orderBy("cell")
     )
+
+
+@register(
+    "stream_foreachbatch_sink",
+    sql="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4)     AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    desc="foreachBatch idempotent parquet sink: replay-safe batch-id directories, oracle-audited",
+)
+def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exactly-once SINK pattern: `foreachBatch` writes each
+    micro-batch to a `batch_id=N` directory with overwrite, so a
+    replayed batch (retry after failure) overwrites its own output
+    instead of duplicating it — idempotence from deterministic batch
+    ids + atomic directory replace.  The oracle audits END-TO-END
+    delivery: per-type counts and value sums read back from the sink
+    must equal the same aggregate over the raw table (nothing lost,
+    nothing duplicated).  At scale the parquet dir becomes a table
+    location and the same callback can MERGE into a lakehouse table."""
+    from pyspark.sql import functions as F
+
+    stream, key = _stream_source(spark, sf_dir)
+    sink_dir = os.path.join(_SCRATCH, key, "feb_sink")
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(sink_dir, f"batch_id={batch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", os.path.join(_SCRATCH, key, "feb_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    back = spark.read.option("basePath", sink_dir).parquet(sink_dir)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
