@@ -120,14 +120,14 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_incremental_exact",
     "source_csv_lineitem",
     "source_json_orders",
     "stream_tumbling_window",
-    "stream_sliding_window",
-    "stream_session_window",
+    "stream_interval_join",
     "stream_dedup_exact",
     "stream_stateful_profile",
-    "stream_interval_join",
+    "stream_foreachbatch_sink",
     # continuity keeper: a representative TPC-H row stays driver-visible
     "q1_pricing_summary",
 )
