@@ -177,6 +177,11 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(t, 3, F.greatest(n - 2, F.lit(0))),
         lambda ab, c: F.concat_ws(" ", ab, c),
     )
+    # docs need >= 3 tokens to HAVE trigrams; the oracle's inner join to
+    # its trigram CTE drops shorter docs, and an unguarded Spark side
+    # would keep a 2-token doc with a NULL (0/0) dup fraction instead —
+    # filter symmetrically so both engines score the same population
+    docs = docs.where(F.size(word_tokens(F.col("text"))) >= 3)
     slim = docs.select(
         "doc_id",
         "source",

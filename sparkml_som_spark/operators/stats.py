@@ -8,6 +8,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sparkml_som_spark.functions import word_tokens
 from sparkml_som_spark.operators.registry import register
 from sparkml_som_spark.sources import load_table
 
@@ -169,7 +170,7 @@ def grouped_map_ols_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "source",
         F.col("n_chars").cast("double").alias("n_chars"),
-        F.size(F.split(F.lower("text"), " ")).cast("double").alias("n_tok"),
+        F.size(word_tokens(F.col("text"))).cast("double").alias("n_tok"),
     )
 
     def fit_group(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -40,6 +40,7 @@ _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.
 # once per (session, sf) with the nanos->micros conversion applied, so
 # five streaming queries don't re-write it five times.
 _SRC_CACHE: dict[str, str] = {}
+_EMB_SRC_CACHE: dict[str, str] = {}
 
 
 def _stream_source(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
@@ -149,8 +150,12 @@ def stream_som_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     model, emb = fit_default_som(spark, sf_dir)
     key = os.path.basename(os.path.normpath(sf_dir))
     path = os.path.join(_SCRATCH, key, "emb_stream_src")
-    if not os.path.exists(path):
+    # rewrite once per PROCESS (same policy as _SRC_CACHE) — a bare
+    # os.path.exists would trust a stale or half-written snapshot from
+    # an earlier process forever while the model fits on current data
+    if _EMB_SRC_CACHE.get(key) != path:
         emb.write.mode("overwrite").parquet(path)
+        _EMB_SRC_CACHE[key] = path
     stream = spark.readStream.schema(emb.schema).parquet(path)
     out = model.transform(stream).select("vec_id", "prediction")
     sink = _run_to_memory(spark, out, f"sgs_stream_som_{key}".replace(".", "_"), "append")
@@ -183,10 +188,23 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     must equal the same aggregate over the raw table (nothing lost,
     nothing duplicated).  At scale the parquet dir becomes a table
     location and the same callback can MERGE into a lakehouse table."""
+    import shutil
+
     from pyspark.sql import functions as F
 
     stream, key = _stream_source(spark, sf_dir)
     sink_dir = os.path.join(_SCRATCH, key, "feb_sink")
+    ckpt_dir = os.path.join(_SCRATCH, key, "feb_ckpt")
+    # The source snapshot is rewritten once per process with fresh file
+    # names (_SRC_CACHE); a checkpoint surviving from a previous process
+    # would treat the rewritten files as NEW data and append a duplicate
+    # batch next to the old sink output (reproduced: every count exactly
+    # doubles).  Scope the run to this process: clear sink + checkpoint,
+    # then let the checkpoint provide retry-idempotence WITHIN the run —
+    # which is the contract a real deployment has (checkpoint and source
+    # live and die together).
+    shutil.rmtree(sink_dir, ignore_errors=True)
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
 
     def write_batch(batch_df, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(
@@ -195,7 +213,7 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = (
         stream.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", os.path.join(_SCRATCH, key, "feb_ckpt"))
+        .option("checkpointLocation", ckpt_dir)
         .trigger(availableNow=True)
         .start()
     )

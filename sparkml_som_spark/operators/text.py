@@ -161,16 +161,17 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # char trigrams via a zip_with chain over the split chars — the
     # per-index substring(text, i, 3) form is O(len) per position
     # (O(len^2) per doc); same construction-speed fix as word_shingles.
-    # Docs shorter than 3 chars degrade to one whole-text gram, matching
-    # the old sequence(1, greatest(len-2, 1)) behavior.
+    # Docs shorter than 3 chars contribute NO grams (and so no
+    # prediction) on BOTH engines — a whole-text fallback gram would
+    # enter the per-lang profile ranking on the Spark side only and
+    # break oracle parity for unrelated docs.
     low = F.lower(F.col("text"))
     ch = F.split(low, "")
     m = F.size(ch)
     ln1 = F.greatest(m - 1, F.lit(0))
     bi = F.zip_with(F.slice(ch, 1, ln1), F.slice(ch, 2, ln1), lambda a, b: F.concat(a, b))
     ln2 = F.greatest(m - 2, F.lit(0))
-    tri = F.zip_with(F.slice(bi, 1, ln2), F.slice(ch, 3, ln2), lambda a, b: F.concat(a, b))
-    grams = F.when(F.length(low) >= 3, tri).otherwise(F.array(low))
+    grams = F.zip_with(F.slice(bi, 1, ln2), F.slice(ch, 3, ln2), lambda a, b: F.concat(a, b))
     doc_grams = (
         docs.select(
             "doc_id",

@@ -266,15 +266,19 @@ def asof_join_signup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "window_analytic_suite",
     sql="""
+    WITH ev AS (
+        SELECT event_id, user_id, ts, value,
+               CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+        FROM events WHERE user_id <= 40
+    )
     SELECT event_id, user_id,
-           ROUND(percent_rank() OVER w, 6)          AS pct_rank,
-           ROUND(cume_dist() OVER w, 6)             AS cume,
-           nth_value(value, 3) OVER w2              AS third_value,
-           first_value(value IGNORE NULLS) OVER w2  AS first_nn,
-           last_value(value IGNORE NULLS) OVER w2   AS last_nn
-    FROM events
-    WHERE user_id <= 40
-    WINDOW w  AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC),
+           ROUND(percent_rank() OVER w, 6)      AS pct_rank,
+           ROUND(cume_dist() OVER w, 6)         AS cume,
+           nth_value(v, 3) OVER w2              AS third_value,
+           first_value(v IGNORE NULLS) OVER w2  AS first_nn,
+           last_value(v IGNORE NULLS) OVER w2   AS last_nn
+    FROM ev
+    WINDOW w  AS (PARTITION BY user_id ORDER BY value ASC NULLS LAST, event_id ASC),
            w2 AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
@@ -286,11 +290,24 @@ def window_analytic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     IGNORE NULLS first/last navigation.  Frames are pinned explicitly —
     nth_value/last_value give different answers under the default RANGE
     frame, a classic cross-engine divergence; `(ts, event_id)` ordering
-    makes ties deterministic.  One shuffle on user_id serves all five
+    makes ties deterministic.  NULL placement is pinned too (NULLS LAST
+    — Spark defaults NULLS FIRST, DuckDB NULLS LAST, a divergence the
+    data must not be allowed to hide), and because events.value has no
+    NULLs, the navigation columns read `v` = value with every 7th
+    event_id nulled deterministically so IGNORE NULLS has real NULLs to
+    skip on both engines.  One shuffle on user_id serves all five
     functions (same partition key, Catalyst collapses to one Window
     node per frame spec)."""
-    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") <= 40)
-    w = Window.partitionBy("user_id").orderBy(F.asc("value"), F.asc("event_id"))
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") <= 40)
+        .withColumn(
+            "v", F.when(F.col("event_id") % 7 == 0, None).otherwise(F.col("value"))
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("value"), F.asc("event_id")
+    )
     w2 = (
         Window.partitionBy("user_id")
         .orderBy(F.asc("ts"), F.asc("event_id"))
@@ -301,7 +318,7 @@ def window_analytic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
-        F.nth_value("value", 3).over(w2).alias("third_value"),
-        F.first("value", ignorenulls=True).over(w2).alias("first_nn"),
-        F.last("value", ignorenulls=True).over(w2).alias("last_nn"),
+        F.nth_value("v", 3).over(w2).alias("third_value"),
+        F.first("v", ignorenulls=True).over(w2).alias("first_nn"),
+        F.last("v", ignorenulls=True).over(w2).alias("last_nn"),
     )

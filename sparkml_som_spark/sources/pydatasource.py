@@ -54,12 +54,10 @@ class SynthDocsReader(DataSourceReader):
             yield (d, f"src{d % 20}", 20 + (d * 7) % 180)
 
 
-_REGISTERED: set[int] = set()
-
-
 def ensure_registered(spark) -> None:
-    """Idempotently register the source on this session."""
-    key = id(spark)
-    if key not in _REGISTERED:
-        spark.dataSource.register(SynthDocsDataSource)
-        _REGISTERED.add(key)
+    """Register the source on this session.  Registration is itself
+    idempotent (re-registering replaces the entry), so no caching — a
+    seen-set keyed by id(spark) would go stale when CPython recycles a
+    garbage-collected session's address and silently skip the real
+    registration."""
+    spark.dataSource.register(SynthDocsDataSource)
