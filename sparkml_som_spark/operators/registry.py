@@ -152,6 +152,7 @@ def load_all() -> dict[str, QuerySpec]:
     import sparkml_som_spark.operators.streaming_queries  # noqa: F401
     import sparkml_som_spark.operators.text  # noqa: F401
     import sparkml_som_spark.operators.text_pipeline  # noqa: F401
+    import sparkml_som_spark.operators.upserts  # noqa: F401
     import sparkml_som_spark.operators.windows  # noqa: F401
 
     ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
