@@ -709,3 +709,46 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("known").isNull()).alias("n_new_unique"),
         )
     )
+
+
+@register(
+    "fuzzy_match_customers",
+    sql="""
+    WITH blocked AS (
+        SELECT c_custkey, c_name, substr(c_name, 10, 7) AS blk
+        FROM customer
+    )
+    SELECT a.blk AS block,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(a.c_custkey) AS BIGINT) AS min_key
+    FROM blocked a JOIN blocked b
+      ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+     AND levenshtein(a.c_name, b.c_name) <= 1
+    GROUP BY a.blk
+    """,
+    desc="entity resolution: blocked fuzzy join on edit distance <= 1",
+)
+def fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching — the entity-resolution primitive: names
+    within edit distance 1 are candidate duplicates, but Levenshtein on
+    all pairs is O(n^2), so candidates come from an equi-join on a
+    BLOCKING key (here the name's thousands prefix; in production a
+    phonetic code or sorted-neighborhood key) and the edit distance
+    verifies only within blocks.  Same candidate-generation-then-verify
+    discipline as the shingle/LSH dedups, for strings instead of sets.
+    Both engines implement classic Levenshtein, so the pair counts are
+    oracle-exact."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.substring("c_name", 10, 7).alias("blk")
+    )
+    a, b = c.alias("a"), c.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey"))
+        & (F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 1),
+    )
+    return pairs.groupBy(F.col("a.blk").alias("block")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min(F.col("a.c_custkey")).alias("min_key"),
+    )
