@@ -443,7 +443,8 @@ def nullsafe_join_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_json_keys_events",
     sql="""
     SELECT k AS key, COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.' || k) AS INT)) AS sum_val
+           CAST(SUM(CAST(json_extract_string(props, '$.' || k) AS INT)) AS BIGINT)
+               AS sum_val
     FROM (SELECT props, unnest(json_keys(props)) AS k FROM events)
     GROUP BY 1
     """,
@@ -545,8 +546,8 @@ def gapfill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
         SELECT user_id, ts,
-               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+               CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
         FROM flagged
     )
     SELECT user_id, sess_id, COUNT(*) AS n_events,

@@ -26,7 +26,7 @@ _SW_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
            COUNT(*)                                              AS n_docs,
            ROUND(AVG(len(string_split(lower(text), ' '))), 4)    AS avg_tokens,
            ROUND(AVG(n_chars), 4)                                AS avg_chars,
-           SUM(len(string_split(lower(text), ' ')))              AS total_tokens
+           CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS total_tokens
     FROM documents
     GROUP BY source
     """,
@@ -125,7 +125,7 @@ def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM dg GROUP BY lang, g
         ) WHERE rk <= 50
     ), scores AS (
-        SELECT d.doc_id, p.lang, SUM(d.dcnt) AS score
+        SELECT d.doc_id, p.lang, CAST(SUM(d.dcnt) AS BIGINT) AS score
         FROM dg d JOIN prof p ON p.g = d.g
         GROUP BY 1, 2
     )

@@ -31,15 +31,24 @@ DIM_TABLES = {"region", "nation", "supplier", "part", "customer"}
 def load_table(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
-        # reader rejects; read nanos as long and truncate to microseconds
-        # (integer div — float division would lose precision on int64 ns).
+        # events.parquet has shipped with three different physical types for
+        # `ts` across testdata generations: TIMESTAMP(NANOS) (rejected by the
+        # parquet reader unless read as long), TIMESTAMP(MICROS) without a
+        # timezone (inferred as TIMESTAMP_NTZ by Spark 4), and plain LTZ.
+        # Normalize ALL of them to TIMESTAMP (LTZ) here, in the one place
+        # every batch query, stream snapshot, and test fixture loads from:
+        # withWatermark()/window() require LTZ, and the session timezone is
+        # pinned UTC (session.py) so the cast never shifts wall-clock values.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            from pyspark.sql import functions as F
+        from pyspark.sql import functions as F
 
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # nanos read as long; integer div — float would lose precision.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type and ts_type != "timestamp":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(path)
     if spread:

@@ -32,22 +32,30 @@ def test_stateful_user_profile_matches_batch(spark, tmp_path):
     # with update mode, the LAST row per user is the final state
     got = spark.sql(
         """
-        SELECT user_id, n_events, total_value FROM user_profiles
+        SELECT user_id, n_events, total_value, last_ts FROM user_profiles
         """
     ).collect()
     final = {}
     for r in got:  # memory sink appends in batch order; last write wins
-        final[r["user_id"]] = (r["n_events"], r["total_value"])
+        final[r["user_id"]] = (r["n_events"], r["total_value"], r["last_ts"])
 
     want = {
-        r["user_id"]: (r["n"], r["v"])
+        r["user_id"]: (r["n"], r["v"], r["mts"])
         for r in batch.groupBy("user_id")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("v"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("v"),
+            F.max("ts").alias("mts"),
+        )
         .collect()
     }
     assert {u: nv[0] for u, nv in final.items()} == {u: nv[0] for u, nv in want.items()}
     for u in want:
         assert final[u][1] == pytest.approx(want[u][1], abs=1e-3)
+        # last_ts must equal the batch max(ts) exactly: pins the LTZ
+        # normalization contract — pandas max() over the Arrow-delivered
+        # timestamps round-trips through the state op unshifted
+        assert final[u][2] == want[u][2], (u, final[u][2], want[u][2])
 
 
 def test_salted_join_equals_plain_join(spark):

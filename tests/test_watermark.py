@@ -63,3 +63,65 @@ def test_late_events_dropped_by_watermark(spark, tmp_path):
     assert late_day not in emitted, emitted
     # day D closed with exactly the 12 on-time rows (10 + 2), late 3 excluded
     assert emitted.get(day_d) == 12, emitted
+
+
+def test_ntz_events_normalized_for_watermark(spark, tmp_path):
+    """The testdata's events.parquet has shipped as TIMESTAMP(NANOS) in
+    one generation and plain TIMESTAMP(MICROS)-without-timezone (Spark 4
+    infers TIMESTAMP_NTZ) in another; withWatermark rejects NTZ outright
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).  Pin the contract: whatever
+    physical type the file carries, load_table must hand back an LTZ
+    `ts` on which every watermark entry builds."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparkml_som_spark.sources import load_table
+    from sparkml_som_spark.streaming.windows import (
+        dedup_stream,
+        session_window_stream,
+        sliding_window_stream,
+        tumbling_window_stream,
+    )
+
+    sf_dir = str(tmp_path / "sf_ntz")
+    ts = [BASE + dt.timedelta(minutes=i) for i in range(20)]
+    table = pa.table(
+        {
+            "event_id": pa.array(range(20), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),  # no tz -> Spark infers NTZ
+            "user_id": pa.array([i % 3 for i in range(20)], pa.int64()),
+            "event_type": pa.array(["click"] * 20),
+            "value": pa.array([1.0] * 20),
+            "props": pa.array(['{"a": 1}'] * 20),
+        }
+    )
+    import os
+
+    os.makedirs(sf_dir, exist_ok=True)
+    pq.write_table(table, os.path.join(sf_dir, "events.parquet"))
+    # raw read really is NTZ (the regression's precondition)...
+    assert dict(spark.read.parquet(os.path.join(sf_dir, "events.parquet")).dtypes)["ts"] == "timestamp_ntz"
+    # ...and load_table normalizes it to LTZ
+    batch = load_table(spark, sf_dir, "events")
+    assert dict(batch.dtypes)["ts"] == "timestamp"
+
+    src = str(tmp_path / "stream_src")
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    # every watermark-bearing operator must at least ANALYZE (this is
+    # exactly what threw in round 3); run one end-to-end for the values
+    for build in (tumbling_window_stream, sliding_window_stream, session_window_stream, dedup_stream):
+        build(stream).schema  # forces analysis
+
+    q = (
+        tumbling_window_stream(stream)
+        .writeStream.format("memory")
+        .queryName("t_ntz_tumbling")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    rows = spark.table("t_ntz_tumbling").collect()
+    assert sum(r["n_events"] for r in rows) == 20
