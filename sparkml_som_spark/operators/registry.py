@@ -77,34 +77,40 @@ def register(name: str, sql: str | None = None, desc: str = ""):
 # aggregates, text/dedup pipeline, and the round-2 additions — inside
 # that window; the TPC-H back-catalog (all driver-green in round 1)
 # follows in registration order and is still swept by the local gate
-# (tools/check_oracle.py).
+# (tools/check_oracle.py).  Round 4 rotated five long-green slots
+# (window_running_total, window_rank_dense, set_except_all_qty,
+# set_intersect_all_qty, regexp_extract_parts — each driver-green two
+# consecutive rounds) to entries that had never had a driver verdict:
+# window_analytic_suite, dedup_connected_components,
+# variant_json_events, upsert_scd2_orders, grouped_map_ols_per_source.
 _PRIORITY: tuple[str, ...] = (
     "som_cluster_summary",
     "som_quantization_error",
     "som_count_invariant",
+    "som_transform_integrity",
     "ann_topk_bruteforce",
     "ann_ivf_som",
     "ann_lsh_hyperplane",
     "asof_join_signup_attribution",
     "interval_join_click_after_signup",
     "window_topk_orders_per_customer",
-    "window_running_total",
-    "window_rank_dense",
+    "window_analytic_suite",
+    "dedup_connected_components",
     "tumbling_window_events",
     "sliding_window_events",
     "session_window_events",
     "stats_agg_lineitem",
     "decimal_agg_lineitem",
     "q12_priority_class",
-    "regexp_extract_parts",
+    "variant_json_events",
     "udaf_geomean_orders",
     "media_feature_pipeline",
     "nullsafe_join_flags",
     "map_json_keys_events",
     "gapfill_daily_revenue",
     "sessionize_lag_gaps",
-    "set_except_all_qty",
-    "set_intersect_all_qty",
+    "upsert_scd2_orders",
+    "grouped_map_ols_per_source",
     "tfidf_top_terms",
     "text_token_stats",
     "text_quality_score",
@@ -122,7 +128,6 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_embedding_cosine",
     "dedup_incremental_exact",
     "source_csv_lineitem",
-    "source_json_orders",
     "stream_tumbling_window",
     "stream_interval_join",
     "stream_dedup_exact",

@@ -123,6 +123,39 @@ def som_count_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "som_transform_integrity",
+    sql="""
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT)    AS n_rows,
+           CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id
+    FROM embeddings
+    GROUP BY label
+    """,
+    desc="SOM transform passthrough integrity: per-label counts + id checksums survive the pandas_udf kernel (full oracle)",
+)
+def som_transform_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard oracle signal routed THROUGH the SOM transform: the
+    prediction itself is not SQL-derivable (iterative fit), but the
+    transform's row-preservation contract is — every input row must come
+    out exactly once, untouched except for the appended prediction, with
+    the prediction in [0, n_cells).  Per-label counts and vec_id
+    checksums over the transform output therefore must equal the same
+    aggregate over the raw table; a kernel bug that dropped, duplicated,
+    or reordered-and-corrupted Arrow batches breaks the hash."""
+    model, emb = fit_default_som(spark, sf_dir)
+    n_cells = model.getHeight() * model.getWidth()
+    preds = model.transform(emb)
+    return (
+        preds.where((F.col("prediction") >= 0) & (F.col("prediction") < n_cells))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("vec_id").alias("sum_vec_id"),
+        )
+    )
+
+
+@register(
     "som_hex_occupancy",
     sql=None,  # iterative ML -> rows-only check
     desc="hexagonal-topology SOM fit + per-cell occupancy (topology beyond the reference)",
