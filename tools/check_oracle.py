@@ -5,7 +5,11 @@ DuckDB at sf0.01, compares row count, column names, and an
 order-insensitive value multiset (floats rounded to 6 decimals before
 comparison so engine-level summation-order noise doesn't flag).
 
-Usage: PYTHONPATH=/root/repo python tools/check_oracle.py [name ...]
+Usage: PYTHONPATH=/root/repo python tools/check_oracle.py [--json PATH] [name ...]
+
+``--json PATH`` additionally writes one record per query (status, rows,
+elapsed, failure detail) so a full-gate run is auditable as an artifact
+(LOCAL_GATE_r{N}.json) alongside the driver's CORRECTNESS_r{N}.json.
 """
 
 from __future__ import annotations
@@ -49,7 +53,14 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from sparkml_som_spark.session import get_spark
 
-    only = set(sys.argv[1:])
+    argv = sys.argv[1:]
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    only = set(argv)
+    records: dict[str, dict] = {}
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
@@ -70,10 +81,14 @@ def main() -> int:
             s_rows = sdf.collect()
         except Exception as e:
             failures.append(name)
-            print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e).splitlines()[0][:200]}")
+            detail = f"spark error: {type(e).__name__}: {str(e).splitlines()[0][:200]}"
+            records[name] = {"status": "fail", "detail": detail}
+            print(f"FAIL  {name}: {detail}")
             continue
         if name not in oracles:
-            print(f"rows  {name}: {len(s_rows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            dt = time.time() - t0
+            records[name] = {"status": "rows_only", "spark_rows": len(s_rows), "sec": round(dt, 2)}
+            print(f"rows  {name}: {len(s_rows)} rows (no oracle) [{dt:.1f}s]")
             continue
         try:
             res = con.execute(oracles[name])
@@ -81,7 +96,9 @@ def main() -> int:
             o_rows = res.fetchall()
         except Exception as e:
             failures.append(name)
-            print(f"FAIL  {name}: oracle error: {str(e).splitlines()[0][:200]}")
+            detail = f"oracle error: {str(e).splitlines()[0][:200]}"
+            records[name] = {"status": "fail", "detail": detail}
+            print(f"FAIL  {name}: {detail}")
             continue
 
         problems = []
@@ -97,11 +114,30 @@ def main() -> int:
                 problems.append(f"values spark-only={diff_s} oracle-only={diff_o}")
         if problems:
             failures.append(name)
-            print(f"FAIL  {name}: {'; '.join(problems)}")
+            detail = "; ".join(problems)
+            records[name] = {"status": "fail", "spark_rows": len(s_rows), "detail": detail}
+            print(f"FAIL  {name}: {detail}")
         else:
-            print(f"ok    {name}: {len(s_rows)} rows match [{time.time()-t0:.1f}s]")
+            dt = time.time() - t0
+            records[name] = {"status": "ok", "spark_rows": len(s_rows), "sec": round(dt, 2)}
+            print(f"ok    {name}: {len(s_rows)} rows match [{dt:.1f}s]")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if json_path:
+        import json
+
+        summary = {
+            "sf_dir": SF_DIR,
+            "n_queries": len(records),
+            "n_ok": sum(1 for r in records.values() if r["status"] == "ok"),
+            "n_rows_only": sum(1 for r in records.values() if r["status"] == "rows_only"),
+            "n_fail": len(failures),
+            "failures": failures,
+            "queries": records,
+        }
+        with open(json_path, "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+        print(f"wrote {json_path}")
     return 1 if failures else 0
 
 
