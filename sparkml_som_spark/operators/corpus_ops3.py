@@ -1,0 +1,308 @@
+"""Training-corpus operations, part 3: domain-mixture reweighting,
+balanced shard assignment via distributed global ranking, value
+histograms, schema-evolution reads, and contrastive negative sampling.
+
+These extend the LLM-pipeline surface (dedup.py, text.py, corpus_ops2.py)
+with the steps that come AFTER hygiene: deciding how much of each domain
+to sample (mixture weights), laying the corpus out for distributed
+training (shards balanced by size), and pairing examples for contrastive
+objectives (negative sampling).
+
+Scale discipline, per operator:
+
+- mixture weights aggregate to one row per (source, lang) — the global
+  total rides a single-row cross join (broadcast), never a global window
+  over the corpus;
+- shard assignment needs a GLOBAL rank, which a naive
+  `row_number() OVER (ORDER BY ...)` computes on ONE task (the classic
+  scale cliff).  The implementation here is the two-phase distributed
+  form: range-repartition on the sort key, count rows per partition
+  (bounded collect: one row per partition), broadcast the prefix
+  offsets, then assign rank = offset[pid] + local index inside
+  mapInPandas.  Wall-clock scales with partitions, not with one sorter;
+- the histogram is floor-arithmetic binning (JVM-side), map-side
+  combined to n_bins rows;
+- schema-merge reads are a reader feature (parquet footer union), not a
+  data shuffle;
+- negative sampling derives the partner key arithmetically (no RNG, no
+  shuffle beyond the self-join on the derived key) and the self-join's
+  build side is the corpus itself re-keyed — an equi-join Spark plans as
+  a standard shuffle join, skew-free because the derived key is a
+  bijection.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkml_som_spark.functions import word_tokens
+from sparkml_som_spark.operators.registry import register
+from sparkml_som_spark.sources import load_table
+
+_SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch"
+)
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    return os.path.join(_SCRATCH, os.path.basename(os.path.normpath(sf_dir)), name)
+
+
+_N_SHARDS = 16
+_HIST_WIDTH = 25.0  # events.value spans ~[0, 500) -> ~20 bins
+
+
+@register(
+    "corpus_mixture_weights",
+    sql="""
+    WITH per AS (
+        SELECT source, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens
+        FROM documents
+        GROUP BY source, lang
+    ), tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               COUNT(*) AS n_groups
+        FROM per
+    )
+    SELECT per.source, per.lang, per.n_docs, per.n_tokens,
+           ROUND(per.n_tokens * 1.0 / tot.total_tokens, 6) AS token_share,
+           ROUND((1.0 / tot.n_groups) / (per.n_tokens * 1.0 / tot.total_tokens), 6)
+               AS sample_weight
+    FROM per, tot
+    """,
+    desc="domain-mixture reweighting: per-(source,lang) token shares and flat-mixture sampling weights",
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-mixing step of a pretraining pipeline: measure each
+    (source, lang) domain's token share, then emit the sampling weight
+    that flattens the mixture to uniform over domains (weight > 1 =>
+    upsample, < 1 => downsample).  One corpus aggregation to a bounded
+    per-domain table; the global total joins back via a broadcast cross
+    join of ONE row — no second pass over the corpus, no global window."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    ntok = F.size(word_tokens(F.col("text")))
+    per = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(ntok).alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("total_tokens"), F.count("*").alias("n_groups")
+    )
+    share = F.col("n_tokens") / F.col("total_tokens")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round((1.0 / F.col("n_groups")) / share, 6).alias("sample_weight"),
+    )
+
+
+@register(
+    "shard_assignment_balanced",
+    sql=f"""
+    WITH ranked AS (
+        SELECT doc_id, n_chars,
+               (ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1) % {_N_SHARDS}
+                   AS shard
+        FROM documents
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT)      AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT)  AS sum_chars,
+           CAST(MIN(n_chars) AS BIGINT)  AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT)  AS max_chars
+    FROM ranked
+    GROUP BY shard
+    """,
+    desc="size-balanced shard assignment via two-phase distributed global ranking (round-robin by length rank)",
+)
+def shard_assignment_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign docs to training shards, balanced by size: rank docs by
+    length (desc) and deal them round-robin over shards — the standard
+    greedy layout that keeps per-shard token totals within one doc of
+    each other.
+
+    The global rank is computed the SCALABLE way, not with a
+    single-partition window: (1) range-repartition + local sort on
+    (n_chars DESC, doc_id) so partition p holds ranks strictly before
+    partition p+1; (2) count rows per partition — a bounded collect of
+    one long per partition; (3) broadcast the prefix-sum offsets and
+    assign rank = offset[pid] + local_index inside mapInPandas.  At
+    100 TB this is two corpus passes and a 1000-element driver array —
+    `ROW_NUMBER() OVER (ORDER BY ...)` with no PARTITION BY would push
+    the whole corpus through one task."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents", spread=True).select("doc_id", "n_chars")
+    parted = docs.repartitionByRange(
+        8, F.col("n_chars").desc(), F.col("doc_id").asc()
+    ).sortWithinPartitions(F.col("n_chars").desc(), F.col("doc_id").asc())
+
+    counts = {
+        r["pid"]: r["n"]
+        for r in parted.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    bc = spark.sparkContext.broadcast(offsets)
+
+    def assign(it):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seen = 0
+        for pdf in it:
+            base = bc.value.get(pid, 0) + seen
+            seen += len(pdf)
+            out = pdf[["doc_id", "n_chars"]].copy()
+            out["shard"] = [(base + i) % _N_SHARDS for i in range(len(pdf))]
+            yield out
+
+    assigned = parted.mapInPandas(assign, "doc_id long, n_chars long, shard int")
+    return assigned.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "histogram_event_values",
+    sql=f"""
+    SELECT CAST(FLOOR(value / {_HIST_WIDTH}) AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT)                  AS n,
+           ROUND(MIN(value), 4)                      AS min_v,
+           ROUND(MAX(value), 4)                      AS max_v,
+           ROUND(AVG(value), 4)                      AS avg_v
+    FROM events
+    GROUP BY 1
+    """,
+    desc="fixed-width histogram over events.value: floor-arithmetic binning, map-side combined",
+)
+def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-distribution profiling — the op behind outlier screens and
+    binned dashboards.  Binning is pure JVM arithmetic (floor of a
+    division), so the aggregation map-side combines to n_bins rows per
+    task; no UDF, no second pass for the bin edges."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.floor(F.col("value") / F.lit(_HIST_WIDTH)).cast("int").alias("bin")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 4).alias("min_v"),
+            F.round(F.max("value"), 4).alias("max_v"),
+            F.round(F.avg("value"), 4).alias("avg_v"),
+        )
+    )
+
+
+@register(
+    "source_parquet_schema_merge",
+    sql="""
+    WITH merged AS (
+        SELECT doc_id, n_chars, NULL AS lang FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id, n_chars, lang FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)     AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM merged
+    GROUP BY lang
+    """,
+    desc="parquet schema evolution: mergeSchema read over generations with different columns",
+)
+def source_parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-lived ingest layouts accrete columns; readers must union the
+    schemas without rewriting old files.  Two generations are written —
+    gen1 (doc_id, n_chars), gen2 adds `lang` — and read back with
+    mergeSchema=true: parquet footer union only, old rows surface NULL
+    for the new column.  At scale this is metadata work (footers), not a
+    data rewrite; the aggregation after it confirms no rows were lost or
+    mistyped across generations."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = _scratch(sf_dir, "docs_evolving")
+    gen1 = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "n_chars")
+    gen2 = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "n_chars", "lang")
+    gen1.write.mode("overwrite").parquet(os.path.join(base, "gen=1"))
+    gen2.write.mode("overwrite").parquet(os.path.join(base, "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "gen=1"), os.path.join(base, "gen=2")
+    )
+    return merged.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+_NEG_STRIDE = 97  # coprime to any realistic corpus size -> bijective partner map
+
+
+@register(
+    "negative_sampling_pairs",
+    sql=f"""
+    WITH n AS (SELECT COUNT(*) AS cnt FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id, a.label AS label_a,
+               b.vec_id AS partner_id, b.label AS label_b,
+               list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                   AS cos_raw
+        FROM embeddings a
+        JOIN n ON TRUE
+        JOIN embeddings b ON b.vec_id = (a.vec_id + {_NEG_STRIDE}) % n.cnt
+    )
+    SELECT label_a, label_b,
+           CAST(COUNT(*) AS BIGINT)  AS n_pairs,
+           ROUND(AVG(cos_raw), 4)    AS avg_cos
+    FROM pairs
+    GROUP BY label_a, label_b
+    """,
+    desc="contrastive negative sampling: deterministic stride-partner pairs + per-label-pair cosine profile",
+)
+def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-pair generation for contrastive training, made
+    deterministic: each vector's partner is (vec_id + stride) mod N — a
+    bijection, so every vector appears exactly once on each side, no RNG
+    to disagree across engines or retries, and the derived key is
+    skew-free by construction.  The join is a plain equi-join on the
+    derived key (standard shuffle join; N is exact from a bounded
+    one-row aggregate).  Output is the per-(label, label) cosine
+    profile — the separability diagnostic read before training."""
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = emb.count()
+    a = emb.select(
+        F.col("vec_id"),
+        F.col("label").alias("label_a"),
+        F.col("v").alias("va"),
+        ((F.col("vec_id") + _NEG_STRIDE) % n).alias("partner_id"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("partner_id"),
+        F.col("label").alias("label_b"),
+        F.col("v").alias("vb"),
+    )
+    from sparkml_som_spark.operators.similarity import cosine
+
+    pairs = a.join(b, "partner_id").select(
+        "label_a", "label_b", cosine(F.col("va"), F.col("vb")).alias("cos_raw")
+    )
+    return pairs.groupBy("label_a", "label_b").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.avg("cos_raw"), 4).alias("avg_cos"),
+    )
