@@ -82,7 +82,10 @@ def register(name: str, sql: str | None = None, desc: str = ""):
 # set_intersect_all_qty, regexp_extract_parts — each driver-green two
 # consecutive rounds) to entries that had never had a driver verdict:
 # window_analytic_suite, dedup_connected_components,
-# variant_json_events, upsert_scd2_orders, grouped_map_ols_per_source.
+# variant_json_events, upsert_scd2_orders, grouped_map_ols_per_source;
+# plus source_json_orders -> som_transform_integrity and
+# stream_foreachbatch_sink -> stream_static_enrich (both swapped-out
+# entries green r2+r3 and still swept by the local gate).
 _PRIORITY: tuple[str, ...] = (
     "som_cluster_summary",
     "som_quantization_error",
@@ -132,7 +135,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_interval_join",
     "stream_dedup_exact",
     "stream_stateful_profile",
-    "stream_foreachbatch_sink",
+    "stream_static_enrich",
     # continuity keeper: a representative TPC-H row stays driver-visible
     "q1_pricing_summary",
 )

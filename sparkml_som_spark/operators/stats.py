@@ -111,8 +111,20 @@ def udaf_geomean_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "media_feature_pipeline",
-    sql=None,  # binary decode stub -> rows-only check
-    desc="multimodal: binary payloads -> mapInPandas feature extraction",
+    # The decode step is env-stubbed (no image libs), but every column
+    # of the RESULT — content hash, canonical id, copy count, byte size
+    # — is computed from the payload bytes themselves, so the full
+    # mapInPandas plumbing still gets a value-hash oracle: a dropped,
+    # duplicated, or bit-corrupted Arrow batch changes the hash.
+    sql="""
+    SELECT sha256(text)                      AS sha256,
+           CAST(MIN(doc_id) AS BIGINT)       AS canonical_id,
+           CAST(COUNT(*) AS BIGINT)          AS n_copies,
+           ROUND(AVG(octet_length(CAST(text AS BLOB))), 4) AS avg_bytes
+    FROM documents
+    GROUP BY 1
+    """,
+    desc="multimodal: binary payloads -> mapInPandas feature extraction (hash/size columns under full oracle)",
 )
 def media_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exercises the full multimodal path on real data: documents.text is

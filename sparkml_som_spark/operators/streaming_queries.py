@@ -125,14 +125,27 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(spark, out, f"sgs_stream_ijoin_{key}".replace(".", "_"), "append")
 
 
-@register("stream_stateful_profile", desc="applyInPandasWithState per-user running profile (rows-only)")
+@register(
+    "stream_stateful_profile",
+    # Update mode emits one row per user per micro-batch; AvailableNow
+    # over the static snapshot (no maxFilesPerTrigger) is ONE batch, so
+    # the sink holds exactly the final per-user state — which is a plain
+    # relational aggregate, giving the custom stateful operator a full
+    # value-hash oracle (count, sum, and the last_ts the LTZ
+    # normalization contract pins).
+    sql="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4)     AS total_value,
+           MAX(ts)                  AS last_ts
+    FROM events
+    GROUP BY user_id
+    """,
+    desc="applyInPandasWithState per-user running profile, final state oracle-audited",
+)
 def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream, key = _stream_source(spark, sf_dir)
-    out = _run_to_memory(spark, stateful_user_profile(stream), f"sgs_stream_stateful_{key}".replace(".", "_"), "update")
-    # Update mode emits one row per user per micro-batch that touched
-    # it; AvailableNow over a static dir is a single batch, so this is
-    # one row per user — bounded by the user population.
-    return out
+    return _run_to_memory(spark, stateful_user_profile(stream), f"sgs_stream_stateful_{key}".replace(".", "_"), "update")
 
 
 @register("stream_som_inference", desc="SOMModel.transform under Structured Streaming: per-cell counts from the sink (rows-only; batch transform is the oracle twin)")
@@ -164,6 +177,92 @@ def stream_som_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_rows"))
         .select(F.col("prediction").alias("cell"), "n_rows")
         .orderBy("cell")
+    )
+
+
+@register(
+    "stream_incremental_batches",
+    sql="""
+    SELECT CAST(time_bucket(INTERVAL 1 DAY, ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4)     AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    desc="rate-limited ingest: maxFilesPerTrigger bounds each micro-batch; windowed state accumulates across many batches, oracle-audited",
+)
+def stream_incremental_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backpressure-controlled catch-up: `maxFilesPerTrigger` caps each
+    micro-batch so a backlog (or 100 TB replay) streams through bounded
+    memory instead of one giant batch — Trigger.AvailableNow honors the
+    cap and runs MANY micro-batches until the source drains.  Unlike the
+    other streaming entries (single AvailableNow batch), this exercises
+    real multi-batch execution: watermark advancement, state-store
+    reuse, and window accumulation across batches.  Complete-mode output
+    must equal the relational aggregate — nothing dropped or
+    double-counted across batch boundaries."""
+    from pyspark.sql import functions as F
+
+    batch = load_table(spark, sf_dir, "events")
+    key = os.path.basename(os.path.normpath(sf_dir))
+    path = _SRC_CACHE.get(key)
+    if path is None:
+        path = os.path.join(_SCRATCH, key, "events_stream_src")
+        batch.write.mode("overwrite").parquet(path)
+        _SRC_CACHE[key] = path
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(path)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+    return _run_to_memory(
+        spark, agg, f"sgs_stream_incr_{key}".replace(".", "_"), "complete"
+    )
+
+
+@register(
+    "stream_static_enrich",
+    sql="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value), 4)   AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+    desc="stream-static broadcast enrichment: event stream joined to a static dimension, oracle-audited end-to-end",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The most common streaming topology in practice: enrich a stream
+    against a STATIC dimension table.  Stream-static joins are
+    stateless — no watermark, no state store; each micro-batch joins
+    against the (broadcast) static side, so at 100 TB/day of events the
+    cost per batch is a broadcast hash join, and the dimension can be
+    swapped by restarting the query.  The per-event enriched rows drain
+    to the sink; the per-segment rollup over the sink must hash-match
+    the same aggregate computed relationally — delivery is exactly-once
+    end-to-end, not just "some rows arrived"."""
+    from pyspark.sql import functions as F
+
+    stream, key = _stream_source(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = stream.join(F.broadcast(cust), "user_id").select(
+        "user_id", "c_mktsegment", "value"
+    )
+    sink = _run_to_memory(
+        spark, enriched, f"sgs_stream_enrich_{key}".replace(".", "_"), "append"
+    )
+    return sink.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
     )
 
 

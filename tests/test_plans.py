@@ -93,3 +93,29 @@ def test_window_analytic_suite_single_shuffle_per_frame(spark, registry):
     at most two exchanges (one per sort order), not one per function."""
     df = registry["window_analytic_suite"].fn(spark, SF)
     assert count_exchanges(df) <= 2, formatted_plan(df)
+
+
+def test_histogram_single_keyed_exchange(spark, registry):
+    """Floor-arithmetic binning must stay JVM-side: one keyed exchange
+    for the final agg (partial combine map-side), no UDF in the plan."""
+    df = registry["histogram_event_values"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert count_exchanges(df) <= 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mixture_weights_broadcasts_total(spark, registry):
+    """The one-row global total must join back via broadcast, never a
+    sort-merge join against the per-domain aggregate."""
+    df = registry["corpus_mixture_weights"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_negative_pairs_equi_join_no_cartesian(spark, registry):
+    """The stride-partner map must plan an equi-join (hash or merge),
+    never a cartesian/nested-loop pairing."""
+    df = registry["negative_sampling_pairs"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
