@@ -88,31 +88,112 @@ def _run_to_memory(spark: SparkSession, out: DataFrame, table: str, mode: str) -
     return spark.table(table)
 
 
-@register("stream_tumbling_window", desc="streaming twin of tumbling_window_events (rows-only; batch twin is the oracle)")
+# The window/join/dedup streaming entries below run as ONE AvailableNow
+# micro-batch over the static snapshot (no rate limit), so their
+# complete/append-mode sink contents are deterministic and equal the
+# relational form of the same computation — full value-hash oracles, not
+# the rows-only batch-twin cross-checks they shipped as originally.
+# (Multi-batch execution is exercised separately by
+# stream_incremental_batches.)
+
+
+@register(
+    "stream_tumbling_window",
+    sql="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*)                   AS n_events,
+           ROUND(SUM(value), 4)       AS total_value
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+    desc="streaming 1-day tumbling window, complete-mode sink oracle-audited",
+)
 def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream, key = _stream_source(spark, sf_dir)
     return _run_to_memory(spark, tumbling_window_stream(stream), f"sgs_stream_tumbling_{key}".replace(".", "_"), "complete")
 
 
-@register("stream_sliding_window", desc="streaming twin of sliding_window_events (rows-only)")
+@register(
+    "stream_sliding_window",
+    sql="""
+    SELECT ws AS window_start,
+           COUNT(*)             AS n_events,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM (
+        SELECT value,
+               unnest([date_trunc('day', ts), date_trunc('day', ts) - INTERVAL 1 DAY]) AS ws
+        FROM events
+    )
+    GROUP BY ws
+    """,
+    desc="streaming 2-day/1-day sliding window, complete-mode sink oracle-audited",
+)
 def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream, key = _stream_source(spark, sf_dir)
     return _run_to_memory(spark, sliding_window_stream(stream), f"sgs_stream_sliding_{key}".replace(".", "_"), "complete")
 
 
-@register("stream_session_window", desc="streaming twin of session_window_events (rows-only)")
+@register(
+    "stream_session_window",
+    sql="""
+    WITH flagged AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         >= INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts)              AS session_start,
+           COUNT(*)             AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    desc="streaming session window (30-min gap), gaps-and-islands oracle",
+)
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream, key = _stream_source(spark, sf_dir)
     return _run_to_memory(spark, session_window_stream(stream), f"sgs_stream_session_{key}".replace(".", "_"), "complete")
 
 
-@register("stream_dedup_exact", desc="dropDuplicatesWithinWatermark over the event stream (rows-only)")
+@register(
+    "stream_dedup_exact",
+    # event_id is the natural ingest key and is unique in the snapshot,
+    # so first-arrival-per-key == the table itself: the oracle pins
+    # count preservation AND byte-exact row passthrough (no arithmetic
+    # anywhere, so every column hash-compares raw).  Real dup removal
+    # semantics are covered by the batch twin dedup_exact_groups.
+    sql="SELECT event_id, ts, user_id, event_type, value, props FROM events",
+    desc="dropDuplicatesWithinWatermark over the event stream, passthrough oracle-audited",
+)
 def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream, key = _stream_source(spark, sf_dir)
     return _run_to_memory(spark, dedup_stream(stream), f"sgs_stream_dedup_{key}".replace(".", "_"), "append")
 
 
-@register("stream_interval_join", desc="stream-stream interval join with two-sided watermark state bounds (rows-only; batch twin interval_join_click_after_signup is the oracle)")
+@register(
+    "stream_interval_join",
+    sql="""
+    SELECT s.user_id,
+           s.event_id AS signup_id,
+           c.event_id AS click_id,
+           CAST(date_diff('second', s.ts, c.ts) AS BIGINT) AS secs_after
+    FROM (SELECT * FROM events WHERE event_type = 'signup') s
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = s.user_id
+     AND c.ts >= s.ts
+     AND c.ts <  s.ts + INTERVAL 10 MINUTE
+    """,
+    desc="stream-stream interval join with two-sided watermark state bounds, oracle-audited",
+)
 def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
