@@ -24,6 +24,9 @@ QUERIES = [
     "decontam_ngram_overlap",      # broadcast semi-join on corpus scan
     "char_entropy_quality",        # explode + map-side-combined agg
     "som_count_invariant",         # SOM fit + transform pass
+    "shard_assignment_balanced",   # two-phase distributed global ranking
+    "negative_sampling_pairs",     # stride-bijection self-join
+    "histogram_event_values",      # floor-binned map-side combine
 ]
 
 
