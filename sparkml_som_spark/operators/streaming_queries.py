@@ -348,6 +348,51 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_python_stream_datasource",
+    sql="""
+    SELECT 'src' || CAST(d % 20 AS VARCHAR)        AS source,
+           CAST(COUNT(*) AS BIGINT)                AS n_docs,
+           CAST(SUM(20 + (d * 7) % 180) AS BIGINT) AS total_tokens
+    FROM range(0, 5000) t(d)
+    GROUP BY 1
+    """,
+    desc="custom Python STREAMING DataSource (Spark 4 DataSourceStreamReader) under the value-hash oracle",
+)
+def source_python_stream_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming twin of `source_python_datasource`: the same
+    deterministic generator exposed through the Spark 4
+    `DataSourceStreamReader` API (offset log -> partitions(start, end)
+    fan-out -> per-partition read), drained through a memory sink.  The
+    drained rows must hash-match the batch formula — a custom STREAMING
+    source under the full oracle.  At scale this is the template for a
+    queue/change-feed connector: latestOffset polls the upstream head,
+    commit acks it, and Spark handles replay from the checkpointed
+    offset log."""
+    from pyspark.sql import functions as F
+
+    from sparkml_som_spark.sources.pydatasource import ensure_registered
+
+    ensure_registered(spark)
+    key = os.path.basename(os.path.normpath(sf_dir))
+    stream = (
+        spark.readStream.format("synthdocs")
+        .option("n", 5000)
+        .option("partitions", 8)
+        .load()
+    )
+    sink = _run_to_memory(
+        spark,
+        stream,
+        f"sgs_stream_pyds_{key}".replace(".", "_"),
+        "append",
+    )
+    return sink.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+@register(
     "stream_foreachbatch_sink",
     sql="""
     SELECT event_type,

@@ -36,6 +36,9 @@ class SynthDocsDataSource(DataSource):
     def reader(self, schema) -> "SynthDocsReader":
         return SynthDocsReader(self.options)
 
+    def streamReader(self, schema) -> "SynthDocsStreamReader":
+        return SynthDocsStreamReader(self.options)
+
 
 class SynthDocsReader(DataSourceReader):
     def __init__(self, options):
@@ -61,3 +64,51 @@ def ensure_registered(spark) -> None:
     garbage-collected session's address and silently skip the real
     registration."""
     spark.dataSource.register(SynthDocsDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Streaming half of the same source (Spark 4 DataSourceStreamReader):
+# the API a user implements to stream a bespoke feed (queue poller,
+# object-store listing, change feed) through Structured Streaming.  The
+# generator exposes the SAME deterministic rows as the batch reader, as
+# one offset range [0, n): micro-batch planning walks the offset log,
+# partitions(start, end) fans the range out, and the drained sink is
+# byte-identical to the batch read — so a STREAMING custom source sits
+# under the full value-hash oracle too.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import DataSourceStreamReader  # noqa: E402
+
+
+class SynthDocsStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.n = int(options.get("n", 1000))
+        self.parts = int(options.get("partitions", 8))
+
+    def initialOffset(self):
+        return {"offset": 0}
+
+    def latestOffset(self):
+        # the feed's head: everything is available immediately; a real
+        # source would poll its upstream here and advance incrementally
+        return {"offset": self.n}
+
+    def partitions(self, start, end):
+        lo, hi = start["offset"], end["offset"]
+        span = hi - lo
+        if span <= 0:
+            return [RangePartition(lo, lo)]
+        bounds = [lo + span * i // self.parts for i in range(self.parts + 1)]
+        return [RangePartition(a, b) for a, b in zip(bounds, bounds[1:]) if b > a]
+
+    def read(self, partition):
+        for d in range(partition.lo, partition.hi):
+            yield (d, f"src{d % 20}", 20 + (d * 7) % 180)
+
+    def commit(self, end):
+        pass  # nothing to ack for a deterministic generator
+
+
+class RangePartition(InputPartition):
+    def __init__(self, lo, hi):
+        self.lo, self.hi = lo, hi

@@ -73,3 +73,37 @@ def test_python_datasource_partition_independence(spark):
 
     a, b, c = rows(1), rows(4), rows(13)
     assert a == b == c and len(a) == 997
+
+
+def test_python_stream_datasource_matches_batch(spark):
+    """The streaming reader must drain the exact rows the batch reader
+    yields, for any partition fan-out — the replayable-offset contract
+    of a custom streaming connector."""
+    from pyspark.sql import functions as F
+
+    from sparkml_som_spark.sources.pydatasource import ensure_registered
+
+    ensure_registered(spark)
+    want = (
+        spark.read.format("synthdocs")
+        .option("n", 500).option("partitions", 4).load()
+        .agg(F.count("*"), F.sum("n_tokens"), F.sum("doc_id")).first()
+    )
+    for parts in (1, 3):
+        stream = (
+            spark.readStream.format("synthdocs")
+            .option("n", 500).option("partitions", parts).load()
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(f"t_pyds_{parts}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        got = spark.table(f"t_pyds_{parts}").agg(
+            F.count("*"), F.sum("n_tokens"), F.sum("doc_id")
+        ).first()
+        assert tuple(got) == tuple(want), parts
