@@ -55,6 +55,56 @@ _N_SHARDS = 16
 _HIST_WIDTH = 25.0  # events.value spans ~[0, 500) -> ~20 bins
 
 
+def distributed_global_rank(df: DataFrame, sort_cols: list, n_parts: int = 8) -> DataFrame:
+    """Append a 0-based global `rank` column under the given total order
+    WITHOUT a single-task window.
+
+    `row_number() OVER (ORDER BY ...)` with no PARTITION BY funnels every
+    row through one task; this is the two-phase distributed equivalent:
+
+    1. range-repartition + local sort on the keys, so partition p holds
+       ranks strictly before partition p+1;
+    2. count rows per partition — a bounded collect (one long per
+       partition; 1000 longs on a 1000-executor layout);
+    3. broadcast the prefix-sum offsets and assign
+       rank = offset[partition] + local_index inside mapInPandas.
+
+    Two passes over the data, no stage wider than a scan.  The sort
+    columns must be a TOTAL order (include a tiebreaker) or ranks within
+    a tie are partition-layout-dependent."""
+    spark = df.sparkSession
+    parted = df.repartitionByRange(n_parts, *sort_cols).sortWithinPartitions(*sort_cols)
+
+    counts = {
+        r["pid"]: r["n"]
+        for r in parted.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    bc = spark.sparkContext.broadcast(offsets)
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(df.schema.fields + [T.StructField("rank", T.LongType())])
+
+    def assign(it):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seen = 0
+        for pdf in it:
+            base = bc.value.get(pid, 0) + seen
+            seen += len(pdf)
+            pdf = pdf.copy()
+            pdf["rank"] = range(base, base + len(pdf))
+            yield pdf
+
+    return parted.mapInPandas(assign, out_schema)
+
+
 @register(
     "corpus_mixture_weights",
     sql="""
@@ -138,38 +188,11 @@ def shard_assignment_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this is two corpus passes and a 1000-element driver array —
     `ROW_NUMBER() OVER (ORDER BY ...)` with no PARTITION BY would push
     the whole corpus through one task."""
-    import pandas as pd
-
     docs = load_table(spark, sf_dir, "documents", spread=True).select("doc_id", "n_chars")
-    parted = docs.repartitionByRange(
-        8, F.col("n_chars").desc(), F.col("doc_id").asc()
-    ).sortWithinPartitions(F.col("n_chars").desc(), F.col("doc_id").asc())
-
-    counts = {
-        r["pid"]: r["n"]
-        for r in parted.groupBy(F.spark_partition_id().alias("pid"))
-        .agg(F.count("*").alias("n"))
-        .collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    bc = spark.sparkContext.broadcast(offsets)
-
-    def assign(it):
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        seen = 0
-        for pdf in it:
-            base = bc.value.get(pid, 0) + seen
-            seen += len(pdf)
-            out = pdf[["doc_id", "n_chars"]].copy()
-            out["shard"] = [(base + i) % _N_SHARDS for i in range(len(pdf))]
-            yield out
-
-    assigned = parted.mapInPandas(assign, "doc_id long, n_chars long, shard int")
+    ranked = distributed_global_rank(
+        docs, [F.col("n_chars").desc(), F.col("doc_id").asc()], n_parts=8
+    )
+    assigned = ranked.withColumn("shard", (F.col("rank") % _N_SHARDS).cast("int"))
     return assigned.groupBy("shard").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),

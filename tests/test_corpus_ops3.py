@@ -53,3 +53,41 @@ def test_negative_pairs_bijection(spark):
     assert sum(r["n_pairs"] for r in rows) == n
     for r in rows:
         assert -1.0001 <= r["avg_cos"] <= 1.0001
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=5),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_distributed_global_rank_matches_window(spark, lengths, n_parts):
+    """The two-phase rank must equal row_number() OVER (ORDER BY ...) for
+    any data and any partition fan-out — duplicates broken by the id
+    tiebreaker, so the order is total."""
+    from pyspark.sql import Window
+
+    from sparkml_som_spark.operators.corpus_ops3 import distributed_global_rank
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(lengths)], "id long, v long"
+    )
+    got = {
+        r["id"]: r["rank"]
+        for r in distributed_global_rank(
+            df, [F.col("v").desc(), F.col("id").asc()], n_parts=n_parts
+        ).collect()
+    }
+    w = Window.orderBy(F.col("v").desc(), F.col("id").asc())
+    want = {
+        r["id"]: r["rank"] - 1
+        for r in df.withColumn("rank", F.row_number().over(w)).collect()
+    }
+    assert got == want
