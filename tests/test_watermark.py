@@ -65,7 +65,11 @@ def test_late_events_dropped_by_watermark(spark, tmp_path):
     assert emitted.get(day_d) == 12, emitted
 
 
-def test_ntz_events_normalized_for_watermark(spark, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("unit", ["us", "ns"])
+def test_ntz_events_normalized_for_watermark(spark, tmp_path, unit):
     """The testdata's events.parquet has shipped as TIMESTAMP(NANOS) in
     one generation and plain TIMESTAMP(MICROS)-without-timezone (Spark 4
     infers TIMESTAMP_NTZ) in another; withWatermark rejects NTZ outright
@@ -88,7 +92,10 @@ def test_ntz_events_normalized_for_watermark(spark, tmp_path):
     table = pa.table(
         {
             "event_id": pa.array(range(20), pa.int64()),
-            "ts": pa.array(ts, pa.timestamp("us")),  # no tz -> Spark infers NTZ
+            # us/no-tz -> Spark infers NTZ; ns -> TIMESTAMP(NANOS), which
+            # the reader only accepts via the nanosAsLong legacy conf —
+            # the two physical types past testdata generations shipped
+            "ts": pa.array(ts, pa.timestamp(unit)),
             "user_id": pa.array([i % 3 for i in range(20)], pa.int64()),
             "event_type": pa.array(["click"] * 20),
             "value": pa.array([1.0] * 20),
@@ -98,10 +105,16 @@ def test_ntz_events_normalized_for_watermark(spark, tmp_path):
     import os
 
     os.makedirs(sf_dir, exist_ok=True)
-    pq.write_table(table, os.path.join(sf_dir, "events.parquet"))
-    # raw read really is NTZ (the regression's precondition)...
-    assert dict(spark.read.parquet(os.path.join(sf_dir, "events.parquet")).dtypes)["ts"] == "timestamp_ntz"
-    # ...and load_table normalizes it to LTZ
+    pq.write_table(
+        table, os.path.join(sf_dir, "events.parquet"), store_schema=False
+    )
+    if unit == "us":
+        # raw read really is NTZ (the regression's precondition)...
+        assert (
+            dict(spark.read.parquet(os.path.join(sf_dir, "events.parquet")).dtypes)["ts"]
+            == "timestamp_ntz"
+        )
+    # ...and load_table normalizes every physical type to LTZ
     batch = load_table(spark, sf_dir, "events")
     assert dict(batch.dtypes)["ts"] == "timestamp"
 
