@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sparkml_som_spark.functions import word_tokens
@@ -328,4 +328,104 @@ def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("label_a", "label_b").agg(
         F.count("*").alias("n_pairs"),
         F.round(F.avg("cos_raw"), 4).alias("avg_cos"),
+    )
+
+
+@register(
+    "length_trim_quantile",
+    sql="""
+    WITH bounds AS (
+        SELECT quantile_cont(n_chars, 0.05) AS lo,
+               quantile_cont(n_chars, 0.95) AS hi
+        FROM documents
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT)                              AS n_docs,
+           CAST(count_if(d.n_chars >= b.lo AND d.n_chars <= b.hi)
+                AS BIGINT)                                       AS n_kept,
+           CAST(SUM(CASE WHEN d.n_chars >= b.lo AND d.n_chars <= b.hi
+                         THEN d.doc_id ELSE 0 END) AS BIGINT)    AS kept_id_sum,
+           ROUND(b.lo, 4)                                        AS lo,
+           ROUND(b.hi, 4)                                        AS hi
+    FROM documents d, bounds b
+    GROUP BY d.source, b.lo, b.hi
+    """,
+    desc="quantile length trim: drop docs outside the exact [p5, p95] length band",
+)
+def length_trim_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier trimming by length quantile — the screen that drops
+    truncated fragments and concatenation blobs before training.  The
+    exact percentile pass aggregates to ONE row (broadcast back via a
+    one-row cross join, same discipline as corpus_mixture_weights);
+    the filter itself is then a stateless scan predicate.  At 100 TB
+    swap the exact percentile for approx_percentile and re-use the
+    identical topology; `kept_id_sum` pins exact membership of the kept
+    set, not just its size."""
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = docs.agg(
+        F.percentile("n_chars", F.lit(0.05)).alias("lo"),
+        F.percentile("n_chars", F.lit(0.95)).alias("hi"),
+    )
+    keep = (F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi"))
+    return (
+        docs.crossJoin(F.broadcast(bounds))
+        .groupBy("source", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(keep).alias("n_kept"),
+            F.sum(F.when(keep, F.col("doc_id")).otherwise(0)).alias("kept_id_sum"),
+        )
+        .select(
+            "source", "n_docs", "n_kept", "kept_id_sum",
+            F.round("lo", 4).alias("lo"), F.round("hi", 4).alias("hi"),
+        )
+    )
+
+
+_STRAT_K = 10
+
+
+@register(
+    "sample_stratified_topk",
+    sql=f"""
+    WITH ranked AS (
+        SELECT source, doc_id, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)      AS n_sampled,
+           CAST(SUM(doc_id) AS BIGINT)   AS sampled_id_sum,
+           CAST(SUM(n_chars) AS BIGINT)  AS sampled_chars
+    FROM ranked
+    WHERE rk <= {_STRAT_K}
+    GROUP BY source
+    """,
+    desc="balanced downsample: deterministic top-k per stratum via md5 ordering",
+)
+def sample_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size-per-stratum downsampling (k docs per source) — the
+    balanced-subset op behind eval-set construction and per-domain
+    caps.  Ordering by md5(doc_id) makes the 'random' choice a pure
+    function of the row: identical across engines, re-runs, and
+    cluster sizes.  One shuffle on the stratum key; the per-stratum
+    window never sees more than one stratum, so no global sort and no
+    hot task as long as strata outnumber... cores (for a skewed mega-
+    stratum, pre-filter with a hash-threshold pass first)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _STRAT_K)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("doc_id").alias("sampled_id_sum"),
+            F.sum("n_chars").alias("sampled_chars"),
+        )
     )
