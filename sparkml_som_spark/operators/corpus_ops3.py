@@ -429,3 +429,84 @@ def sample_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sampled_chars"),
         )
     )
+
+
+_MANIFEST_SHARDS = 8
+
+
+@register(
+    "pipeline_training_manifest",
+    sql=f"""
+    WITH bounds AS (
+        SELECT quantile_cont(n_chars, 0.05) AS lo,
+               quantile_cont(n_chars, 0.95) AS hi
+        FROM documents
+    ), kept AS (
+        SELECT d.* FROM documents d, bounds b
+        WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
+    ), canon AS (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id) AS copy_rk
+        FROM kept
+    ), deduped AS (
+        SELECT doc_id, source, n_chars FROM canon WHERE copy_rk = 1
+    ), sharded AS (
+        SELECT doc_id, source, n_chars,
+               (ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1)
+                   % {_MANIFEST_SHARDS} AS shard
+        FROM deduped
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT)               AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT)           AS sum_chars,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(doc_id) AS BIGINT)            AS id_checksum
+    FROM sharded
+    GROUP BY shard
+    """,
+    desc="composed training manifest: quantile trim -> exact dedup -> distributed rank -> balanced shards",
+)
+def pipeline_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end layout step of a pretraining data build, composed
+    from this round's primitives: screen by length band, keep one copy
+    per exact-content fingerprint, rank the survivors by size with the
+    two-phase distributed ranking, deal round-robin into shards, and
+    emit the per-shard manifest (id_checksum pins exact membership).
+
+    Every stage keeps its standalone scale shape: one-row broadcast
+    bounds, per-fingerprint window (partitioned — no global sort),
+    two-pass global rank, bounded manifest output.  At 100 TB the same
+    composition runs with approx_percentile bounds and a minhash dedup
+    stage swapped in — the topology is unchanged."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    bounds = docs.agg(
+        F.percentile("n_chars", F.lit(0.05)).alias("lo"),
+        F.percentile("n_chars", F.lit(0.95)).alias("hi"),
+    )
+    kept = docs.crossJoin(F.broadcast(bounds)).where(
+        (F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi"))
+    )
+    copy_rk = F.row_number().over(
+        W.partitionBy(F.md5("text")).orderBy("doc_id")
+    )
+    deduped = (
+        kept.withColumn("copy_rk", copy_rk)
+        .where(F.col("copy_rk") == 1)
+        .select("doc_id", "source", "n_chars")
+    )
+    ranked = distributed_global_rank(
+        deduped, [F.col("n_chars").desc(), F.col("doc_id").asc()], n_parts=8
+    )
+    return (
+        ranked.withColumn("shard", (F.col("rank") % _MANIFEST_SHARDS).cast("int"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+    )
