@@ -57,3 +57,14 @@ def word_shingles(tokens: Column, n: int = 3) -> Column:
     return F.when(m >= n, F.array_distinct(acc)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def round_half_away(x: float, digits: int = 4) -> float:
+    """Python-side rounding matching Spark F.round / SQL ROUND
+    (half away from zero).  The built-in round() is half-to-even, which
+    can disagree with an oracle on exact .5 boundaries — use this in any
+    pandas UDF whose output is hash-compared against SQL ROUND."""
+    import math
+
+    scale = 10**digits
+    return math.copysign(math.floor(abs(x) * scale + 0.5) / scale, x)

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sparkml_som_spark.functions import word_tokens
+from sparkml_som_spark.functions import round_half_away
 from sparkml_som_spark.operators.registry import register
 from sparkml_som_spark.sources import load_table
 
@@ -193,8 +194,8 @@ def grouped_map_ols_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.DataFrame(
             {
                 "source": [pdf["source"].iloc[0]],
-                "slope": [round(slope, 6)],
-                "intercept": [round(ym - slope * xm, 6)],
+                "slope": [round_half_away(slope, 6)],
+                "intercept": [round_half_away(ym - slope * xm, 6)],
                 "n": [len(pdf)],
             }
         )

@@ -27,16 +27,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-def _round_half_up(x: float, digits: int = 4) -> float:
-    """Half-up rounding for non-negative totals, matching Spark F.round /
-    SQL ROUND.  Python's built-in round() is banker's (half-to-even),
-    which can disagree with the DuckDB oracle on exact .5 boundaries —
-    deterministic data made it pass so far, but the testdata regenerates
-    between rounds, so pin the SQL semantics instead of luck."""
-    import math
-
-    scale = 10**digits
-    return math.floor(x * scale + 0.5) / scale
+from sparkml_som_spark.functions import round_half_away as _round_half_up
 
 
 OUTPUT_SCHEMA = StructType(
