@@ -510,3 +510,85 @@ def pipeline_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("id_checksum"),
         )
     )
+
+
+@register(
+    "funnel_conversion_events",
+    sql="""
+    WITH s AS (
+        SELECT user_id, MIN(ts) AS s_ts
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), c AS (
+        SELECT s.user_id, MIN(e.ts) AS c_ts
+        FROM s JOIN events e
+          ON e.user_id = s.user_id AND e.event_type = 'click'
+         AND e.ts >= s.s_ts AND e.ts < s.s_ts + INTERVAL 7 DAY
+        GROUP BY s.user_id
+    ), p AS (
+        SELECT c.user_id, MIN(e.ts) AS p_ts
+        FROM c JOIN events e
+          ON e.user_id = c.user_id AND e.event_type = 'purchase'
+         AND e.ts >= c.c_ts AND e.ts < c.c_ts + INTERVAL 7 DAY
+        GROUP BY c.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_signup,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase,
+           ROUND((SELECT COUNT(*) FROM c) * 1.0
+                 / (SELECT COUNT(*) FROM s), 4)     AS click_rate,
+           ROUND((SELECT COUNT(*) FROM p) * 1.0
+                 / (SELECT COUNT(*) FROM c), 4)     AS purchase_rate
+    """,
+    desc="3-step funnel: signup -> first click <=7d -> first purchase <=7d, per-step conversion",
+)
+def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel analysis — SEQUENTIAL temporal matching, which
+    neither the interval join (one hop) nor sessionization (no step
+    order) covers: each stage anchors on the previous stage's FIRST
+    qualifying event.  Every hop is an equi-join on user_id with a time
+    predicate, then a per-user MIN — all shuffles land on the same key,
+    so at 100 TB the stages co-partition (one wide exchange, reused),
+    and each stage's output is bounded by the user population, not the
+    event volume."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s = ev.where(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("s_ts")
+    )
+    c = (
+        s.join(
+            ev.where(F.col("event_type") == "click").select(
+                F.col("user_id").alias("c_user"), F.col("ts").alias("e_ts")
+            ),
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("e_ts") >= F.col("s_ts"))
+            & (F.col("e_ts") < F.col("s_ts") + F.expr("INTERVAL 7 DAYS")),
+        )
+        .groupBy("user_id")
+        .agg(F.min("e_ts").alias("c_ts"))
+    )
+    p = (
+        c.join(
+            ev.where(F.col("event_type") == "purchase").select(
+                F.col("user_id").alias("p_user"), F.col("ts").alias("e_ts")
+            ),
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("e_ts") >= F.col("c_ts"))
+            & (F.col("e_ts") < F.col("c_ts") + F.expr("INTERVAL 7 DAYS")),
+        )
+        .groupBy("user_id")
+        .agg(F.min("e_ts").alias("p_ts"))
+    )
+    ns = s.agg(F.count("*").alias("n_signup"))
+    nc = c.agg(F.count("*").alias("n_click"))
+    np_ = p.agg(F.count("*").alias("n_purchase"))
+    return (
+        ns.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            "n_signup",
+            "n_click",
+            "n_purchase",
+            F.round(F.col("n_click") / F.col("n_signup"), 4).alias("click_rate"),
+            F.round(F.col("n_purchase") / F.col("n_click"), 4).alias("purchase_rate"),
+        )
+    )
