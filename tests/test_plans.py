@@ -119,3 +119,14 @@ def test_negative_pairs_equi_join_no_cartesian(spark, registry):
     df = registry["negative_sampling_pairs"].fn(spark, SF)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_funnel_no_cartesian(spark, registry):
+    """Every funnel hop must plan as an equi-join on user_id with the
+    time predicate as a filter — never a nested-loop per-key cross
+    product (the final 1x1x1 crossJoin of count rows is exempt)."""
+    df = registry["funnel_conversion_events"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    # joins on user_id appear as hash or sort-merge joins
+    assert "Join" in plan
