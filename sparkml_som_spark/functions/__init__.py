@@ -60,10 +60,14 @@ def word_shingles(tokens: Column, n: int = 3) -> Column:
 
 
 def round_half_away(x: float, digits: int = 4) -> float:
-    """Python-side rounding matching Spark F.round / SQL ROUND
-    (half away from zero).  The built-in round() is half-to-even, which
-    can disagree with an oracle on exact .5 boundaries — use this in any
-    pandas UDF whose output is hash-compared against SQL ROUND."""
+    """Python-side half-away-from-zero rounding on the BINARY double —
+    i.e. the DuckDB / C `round()` contract our oracles compare against.
+    (Spark's F.round on doubles goes through BigDecimal.valueOf — the
+    SHORTEST-DECIMAL repr — so it can differ on values like 2.675 that
+    have no exact binary form; this helper deliberately matches the
+    oracle, not F.round.)  The built-in Python round() is half-to-even,
+    which disagrees on exact .5 boundaries — use this in any pandas UDF
+    whose output is hash-compared against the DuckDB oracle's ROUND."""
     import math
 
     scale = 10**digits

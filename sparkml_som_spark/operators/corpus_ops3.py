@@ -71,9 +71,21 @@ def distributed_global_rank(df: DataFrame, sort_cols: list, n_parts: int = 8) ->
 
     Two passes over the data, no stage wider than a scan.  The sort
     columns must be a TOTAL order (include a tiebreaker) or ranks within
-    a tie are partition-layout-dependent."""
+    a tie are partition-layout-dependent.
+
+    The partitioned+sorted intermediate is materialized ONCE (eager
+    executor-side checkpoint) before the count pass: RangePartitioner
+    samples range bounds with an RDD-seeded RNG, so recomputing the
+    shuffle for the assign pass could draw DIFFERENT bounds than the
+    count pass saw, silently duplicating/skipping ranks.  Pinning the
+    blocks makes boundary stability a guarantee (and halves the shuffle
+    work: one range exchange, two cheap reads of the pinned blocks)."""
     spark = df.sparkSession
-    parted = df.repartitionByRange(n_parts, *sort_cols).sortWithinPartitions(*sort_cols)
+    parted = (
+        df.repartitionByRange(n_parts, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .localCheckpoint(eager=True)
+    )
 
     counts = {
         r["pid"]: r["n"]
@@ -308,12 +320,15 @@ def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    n = emb.count()
-    a = emb.select(
+    # N rides a one-row broadcast cross join (same shape as the oracle
+    # SQL's `JOIN n ON TRUE`) so the whole query is ONE composable plan
+    # with no separate driver-side count() action.
+    cnt = emb.agg(F.count("*").alias("cnt"))
+    a = emb.crossJoin(F.broadcast(cnt)).select(
         F.col("vec_id"),
         F.col("label").alias("label_a"),
         F.col("v").alias("va"),
-        ((F.col("vec_id") + _NEG_STRIDE) % n).alias("partner_id"),
+        ((F.col("vec_id") + _NEG_STRIDE) % F.col("cnt")).alias("partner_id"),
     )
     b = emb.select(
         F.col("vec_id").alias("partner_id"),

@@ -73,12 +73,20 @@ def _decode_image(payload: bytes) -> np.ndarray:
     Dispatches to Pillow when available (decode, RGB-convert, resize to
     the fixed pooling size) and otherwise to the deterministic stub —
     installing Pillow flips the whole pipeline to real decoding with no
-    code change; `HAS_IMAGE_DECODE` reports which path is live."""
+    code change; `HAS_IMAGE_DECODE` reports which path is live.
+
+    Payloads Pillow cannot identify (synthetic/corrupt blobs, or the
+    driver's text-bytes test payloads) fall back to the stub rather than
+    failing the batch — a 100 TB media scan always contains undecodable
+    blobs, and one of them must not kill the stage."""
     if HAS_IMAGE_DECODE:
         import io
 
-        img = _PILImage.open(io.BytesIO(payload)).convert("RGB").resize((8, 8))
-        return np.asarray(img, dtype=np.float32) / 255.0
+        try:
+            img = _PILImage.open(io.BytesIO(payload)).convert("RGB").resize((8, 8))
+            return np.asarray(img, dtype=np.float32) / 255.0
+        except Exception:  # UnidentifiedImageError, truncated files, ...
+            return _decode_image_stub(payload)
     return _decode_image_stub(payload)
 
 

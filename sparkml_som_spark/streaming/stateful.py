@@ -27,7 +27,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from sparkml_som_spark.functions import round_half_away as _round_half_up
+from sparkml_som_spark.functions import round_half_away as _round_half_away
 
 
 OUTPUT_SCHEMA = StructType(
@@ -66,7 +66,7 @@ def _update_user_profile(
         {
             "user_id": [user_id],
             "n_events": [n],
-            "total_value": [_round_half_up(total)],
+            "total_value": [_round_half_away(total)],
             "last_ts": [last_ts],
         }
     )
@@ -128,7 +128,7 @@ class UserProfileProcessor(StatefulProcessor):
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "total_value": [_round_half_up(total)],
+                "total_value": [_round_half_away(total)],
                 "last_ts": [last_ts],
             }
         )

@@ -91,3 +91,18 @@ def test_distributed_global_rank_matches_window(spark, lengths, n_parts):
         for r in df.withColumn("rank", F.row_number().over(w)).collect()
     }
     assert got == want
+
+
+def test_distributed_global_rank_single_range_shuffle(spark):
+    """The partitioned+sorted intermediate must be pinned before the
+    count pass: the assign pass reads the SAME materialized blocks
+    (plan scans an existing RDD, no second rangepartitioning exchange),
+    which is what guarantees the broadcast offsets match the partitions
+    mapInPandas actually sees."""
+    from sparkml_som_spark.operators.corpus_ops3 import distributed_global_rank
+
+    df = spark.createDataFrame([(i, i % 7) for i in range(100)], "id long, v long")
+    out = distributed_global_rank(df, [F.col("v").asc(), F.col("id").asc()], n_parts=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan

@@ -57,6 +57,9 @@ def main() -> int:
     json_path = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            print("usage: check_oracle.py [--json OUT_PATH] [query ...]", file=sys.stderr)
+            return 2
         json_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
     only = set(argv)
