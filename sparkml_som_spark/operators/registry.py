@@ -86,6 +86,17 @@ def register(name: str, sql: str | None = None, desc: str = ""):
 # plus source_json_orders -> som_transform_integrity and
 # stream_foreachbatch_sink -> stream_static_enrich (both swapped-out
 # entries green r2+r3 and still swept by the local gate).
+# Round 5 rotated seven more long-green slots onto the round-4 D-block
+# operators that had never had a driver verdict:
+# tumbling/sliding/session_window_events (their streaming twins are
+# independently driver-green) -> funnel_conversion_events,
+# pipeline_training_manifest, shard_assignment_balanced;
+# q12_priority_class -> corpus_mixture_weights;
+# gapfill_daily_revenue -> source_python_stream_datasource;
+# nullsafe_join_flags -> length_trim_quantile;
+# source_csv_lineitem -> negative_sampling_pairs.  All swapped-out
+# entries were driver-green >=2 consecutive rounds and remain swept by
+# the local gate.
 _PRIORITY: tuple[str, ...] = (
     "som_cluster_summary",
     "som_quantization_error",
@@ -99,18 +110,18 @@ _PRIORITY: tuple[str, ...] = (
     "window_topk_orders_per_customer",
     "window_analytic_suite",
     "dedup_connected_components",
-    "tumbling_window_events",
-    "sliding_window_events",
-    "session_window_events",
+    "funnel_conversion_events",
+    "pipeline_training_manifest",
+    "shard_assignment_balanced",
     "stats_agg_lineitem",
     "decimal_agg_lineitem",
-    "q12_priority_class",
+    "corpus_mixture_weights",
     "variant_json_events",
     "udaf_geomean_orders",
     "media_feature_pipeline",
-    "nullsafe_join_flags",
+    "length_trim_quantile",
     "map_json_keys_events",
-    "gapfill_daily_revenue",
+    "source_python_stream_datasource",
     "sessionize_lag_gaps",
     "upsert_scd2_orders",
     "grouped_map_ols_per_source",
@@ -130,7 +141,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_incremental_exact",
-    "source_csv_lineitem",
+    "negative_sampling_pairs",
     "stream_tumbling_window",
     "stream_interval_join",
     "stream_dedup_exact",
