@@ -80,16 +80,31 @@ def main() -> None:
     # This host shows ±2-4 s scheduling jitter on heavy queries (same
     # query, idle machine, minutes apart).  Re-time anything that
     # measured slow and keep the min — the min of two runs estimates
-    # the query's actual cost, the max estimates the host's mood.
-    for name, t in sorted(timings.items(), key=lambda kv: -kv[1]):
-        if t < 1.0:
-            break
+    # the query's actual cost, the max estimates the host's mood.  When
+    # the two runs DISAGREE by >25% the query is jitter-prone (r4:
+    # dedup_connected_components, session_window_events swung with zero
+    # code change) — take a third run so one noisy sample can't set the
+    # recorded number.
+    def _retime(name: str) -> float | None:
         t0 = time.time()
         try:
             queries[name](spark, SF_DIR).collect()
-            timings[name] = min(t, round(time.time() - t0, 3))
+            return round(time.time() - t0, 3)
         except Exception:
-            pass  # first-pass timing stands
+            return None  # prior timing stands
+
+    for name, t in sorted(timings.items(), key=lambda kv: -kv[1]):
+        if t < 1.0:
+            break
+        t2 = _retime(name)
+        if t2 is None:
+            continue
+        best = min(t, t2)
+        if abs(t - t2) > 0.25 * best:
+            t3 = _retime(name)
+            if t3 is not None:
+                best = min(best, t3)
+        timings[name] = best
 
     if os.environ.get("SPARK_GRAFT_BENCH_SOM", "1") != "0":
         import numpy as np

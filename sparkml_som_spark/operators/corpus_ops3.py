@@ -527,6 +527,45 @@ def pipeline_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _funnel_stages(ev: DataFrame):
+    """The 3-step funnel's per-user stage tables: first signup, first
+    qualifying click within 7 days of it, first qualifying purchase
+    within 7 days of that.  Every hop is an equi-join on user_id with
+    the time predicate as a filter, then a per-user MIN — all shuffles
+    land on the same key, so the stages co-partition (one wide
+    exchange, reused) and each output is bounded by the user
+    population, not the event volume."""
+    ev = ev.select("user_id", "event_type", "ts")
+    s = ev.where(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("s_ts")
+    )
+    c = (
+        s.join(
+            ev.where(F.col("event_type") == "click").select(
+                F.col("user_id").alias("c_user"), F.col("ts").alias("e_ts")
+            ),
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("e_ts") >= F.col("s_ts"))
+            & (F.col("e_ts") < F.col("s_ts") + F.expr("INTERVAL 7 DAYS")),
+        )
+        .groupBy("user_id")
+        .agg(F.min("e_ts").alias("c_ts"))
+    )
+    p = (
+        c.join(
+            ev.where(F.col("event_type") == "purchase").select(
+                F.col("user_id").alias("p_user"), F.col("ts").alias("e_ts")
+            ),
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("e_ts") >= F.col("c_ts"))
+            & (F.col("e_ts") < F.col("c_ts") + F.expr("INTERVAL 7 DAYS")),
+        )
+        .groupBy("user_id")
+        .agg(F.min("e_ts").alias("p_ts"))
+    )
+    return s, c, p
+
+
 @register(
     "funnel_conversion_events",
     sql="""
@@ -565,34 +604,7 @@ def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     so at 100 TB the stages co-partition (one wide exchange, reused),
     and each stage's output is bounded by the user population, not the
     event volume."""
-    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    s = ev.where(F.col("event_type") == "signup").groupBy("user_id").agg(
-        F.min("ts").alias("s_ts")
-    )
-    c = (
-        s.join(
-            ev.where(F.col("event_type") == "click").select(
-                F.col("user_id").alias("c_user"), F.col("ts").alias("e_ts")
-            ),
-            (F.col("c_user") == F.col("user_id"))
-            & (F.col("e_ts") >= F.col("s_ts"))
-            & (F.col("e_ts") < F.col("s_ts") + F.expr("INTERVAL 7 DAYS")),
-        )
-        .groupBy("user_id")
-        .agg(F.min("e_ts").alias("c_ts"))
-    )
-    p = (
-        c.join(
-            ev.where(F.col("event_type") == "purchase").select(
-                F.col("user_id").alias("p_user"), F.col("ts").alias("e_ts")
-            ),
-            (F.col("p_user") == F.col("user_id"))
-            & (F.col("e_ts") >= F.col("c_ts"))
-            & (F.col("e_ts") < F.col("c_ts") + F.expr("INTERVAL 7 DAYS")),
-        )
-        .groupBy("user_id")
-        .agg(F.min("e_ts").alias("p_ts"))
-    )
+    s, c, p = _funnel_stages(load_table(spark, sf_dir, "events"))
     ns = s.agg(F.count("*").alias("n_signup"))
     nc = c.agg(F.count("*").alias("n_click"))
     np_ = p.agg(F.count("*").alias("n_purchase"))
@@ -605,5 +617,66 @@ def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_purchase",
             F.round(F.col("n_click") / F.col("n_signup"), 4).alias("click_rate"),
             F.round(F.col("n_purchase") / F.col("n_click"), 4).alias("purchase_rate"),
+        )
+    )
+
+
+@register(
+    "funnel_cohort_daily",
+    sql="""
+    WITH s AS (
+        SELECT user_id, MIN(ts) AS s_ts
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), c AS (
+        SELECT s.user_id, MIN(e.ts) AS c_ts
+        FROM s JOIN events e
+          ON e.user_id = s.user_id AND e.event_type = 'click'
+         AND e.ts >= s.s_ts AND e.ts < s.s_ts + INTERVAL 7 DAY
+        GROUP BY s.user_id
+    ), p AS (
+        SELECT c.user_id, MIN(e.ts) AS p_ts
+        FROM c JOIN events e
+          ON e.user_id = c.user_id AND e.event_type = 'purchase'
+         AND e.ts >= c.c_ts AND e.ts < c.c_ts + INTERVAL 7 DAY
+        GROUP BY c.user_id
+    )
+    SELECT CAST(s.s_ts AS DATE)              AS cohort_day,
+           CAST(COUNT(*) AS BIGINT)          AS n_signup,
+           CAST(COUNT(c.c_ts) AS BIGINT)     AS n_click,
+           CAST(COUNT(p.p_ts) AS BIGINT)     AS n_purchase,
+           ROUND(COUNT(c.c_ts) * 1.0 / COUNT(*), 4) AS click_rate,
+           CASE WHEN COUNT(c.c_ts) = 0 THEN NULL
+                ELSE ROUND(COUNT(p.p_ts) * 1.0 / COUNT(c.c_ts), 4)
+           END AS purchase_rate
+    FROM s
+    LEFT JOIN c ON c.user_id = s.user_id
+    LEFT JOIN p ON p.user_id = s.user_id
+    GROUP BY 1
+    """,
+    desc="per-day cohort funnel: signup-date cohorts with per-stage conversion (grouped funnel output)",
+)
+def funnel_cohort_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel grouped by signup-date cohort — the report product
+    analytics actually reads (which day's signups convert).  Reuses the
+    same per-user stage tables as funnel_conversion_events, then LEFT
+    JOINs them back on user_id and aggregates per cohort day: every
+    shuffle stays on user_id until the final bounded per-day rollup
+    (output rows = distinct signup days), so the grouped form adds one
+    small keyed aggregation to the flat funnel's plan, nothing more."""
+    s, c, p = _funnel_stages(load_table(spark, sf_dir, "events"))
+    joined = s.join(c, "user_id", "left").join(p, "user_id", "left")
+    n_click = F.count("c_ts")
+    return (
+        joined.groupBy(F.col("s_ts").cast("date").alias("cohort_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_signup"),
+            n_click.alias("n_click"),
+            F.count("p_ts").alias("n_purchase"),
+            F.round(F.count("c_ts") / F.count(F.lit(1)), 4).alias("click_rate"),
+            F.when(
+                F.count("c_ts") == 0, F.lit(None).cast("double")
+            ).otherwise(F.round(F.count("p_ts") / F.count("c_ts"), 4)).alias(
+                "purchase_rate"
+            ),
         )
     )

@@ -142,3 +142,13 @@ def test_funnel_no_cartesian(spark, registry):
     assert "CartesianProduct" not in plan, plan
     # joins on user_id appear as hash or sort-merge joins
     assert "Join" in plan
+
+
+def test_funnel_cohort_no_cartesian(spark, registry):
+    """The grouped cohort funnel reuses the per-user stage tables and
+    must stay all-equi-join: no cartesian, no nested loop anywhere (it
+    has no one-row totals join — every join is keyed on user_id)."""
+    df = registry["funnel_cohort_daily"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
