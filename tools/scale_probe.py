@@ -27,6 +27,10 @@ QUERIES = [
     "shard_assignment_balanced",   # two-phase distributed global ranking
     "negative_sampling_pairs",     # stride-bijection self-join
     "histogram_event_values",      # floor-binned map-side combine
+    "pipeline_training_manifest",  # trim -> dedup -> rank -> shard composed
+    "corpus_mixture_weights",      # corpus agg + one-row broadcast total
+    "length_trim_quantile",        # one-row quantile bounds broadcast
+    "funnel_cohort_daily",         # 3 keyed hops + per-day rollup
 ]
 
 
