@@ -1,0 +1,363 @@
+"""Training-corpus operations, part 4 (round 5): multi-dimensional
+z-order layout, applied mixture resampling, video frame planning as a
+first-class query, per-key anomaly screening, and inverted-index
+construction.
+
+Scale discipline, per operator:
+
+- z-order layout is the clustering you run BEFORE writing 100 TB so
+  that multi-dimensional predicates prune files: the z-value is pure
+  JVM bit arithmetic (one scan, codegen), and the locality audit
+  aggregates to a bounded per-bucket table;
+- mixture resampling applies corpus_mixture_weights' output without a
+  second corpus statistics pass: the per-domain weight table (bounded:
+  sources x langs) broadcasts onto the corpus scan, and the repeat
+  count is derived per-row from a content hash — deterministic across
+  engines, retries, and cluster sizes, no RNG state;
+- the frame plan is explode-over-computed-sequence, JVM-side; output
+  rows scale with frames, not payload bytes, and the payload column is
+  never read (column pruning does the 100 TB work);
+- the anomaly screen aggregates the event stream to a bounded
+  (type, day) table FIRST; the z-score window runs over that bounded
+  table, so the window is never a corpus-wide sort;
+- the inverted index caps postings per term with a per-term window
+  BEFORE collect_list, so a stopword's posting list can never
+  materialize unbounded in one aggregation buffer (the classic hot-key
+  OOM in index builds); document frequency comes from the co-partitioned
+  full count, joined back on the same key (no extra shuffle shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparkml_som_spark.functions import word_tokens
+from sparkml_som_spark.operators.registry import register
+from sparkml_som_spark.sources import load_table
+
+_Z_BITS = 8  # 8 bits per dimension -> 16-bit z-value, 256 coarse buckets
+_Z_VAL_WIDTH = 4.0  # events.value in [0, 500) -> /4 fits 8 bits
+
+
+def _zorder_expr(ub: str, vb: str, bits: int = _Z_BITS) -> str:
+    """Bit-interleave SQL for two bucketized dimensions, written in the
+    operator/function subset Spark SQL and DuckDB share (`>>`, `&`,
+    integer multiply-add), so ONE string is the implementation and the
+    oracle."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({ub} >> {i}) & 1) * {1 << (2 * i)})")
+        terms.append(f"((({vb} >> {i}) & 1) * {1 << (2 * i + 1)})")
+    return " + ".join(terms)
+
+
+_Z_UB = "(user_id % 256)"
+_Z_VB = f"(CAST(FLOOR(value / {_Z_VAL_WIDTH}) AS BIGINT) % 256)"
+
+
+@register(
+    "zorder_layout_events",
+    sql=f"""
+    WITH z AS (
+        SELECT user_id,
+               {_Z_UB} AS ub,
+               {_Z_VB} AS vb,
+               {_zorder_expr(_Z_UB, _Z_VB)} AS zval
+        FROM events
+    )
+    SELECT (zval >> {_Z_BITS}) AS zbucket,
+           CAST(COUNT(*) AS BIGINT)  AS n,
+           CAST(MIN(ub) AS BIGINT)   AS min_ub,
+           CAST(MAX(ub) AS BIGINT)   AS max_ub,
+           CAST(MIN(vb) AS BIGINT)   AS min_vb,
+           CAST(MAX(vb) AS BIGINT)   AS max_vb,
+           CAST((MAX(ub) - MIN(ub) + 1) * (MAX(vb) - MIN(vb) + 1) AS BIGINT)
+               AS bbox_area
+    FROM z
+    GROUP BY 1
+    """,
+    desc="z-order (Morton) layout audit: bit-interleaved clustering key + per-bucket bounding boxes for multi-dim data skipping",
+)
+def zorder_layout_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout — the file-clustering step that makes BOTH
+    `user_id` and `value` predicates prune files at 100 TB (min/max
+    footer stats on a 1-D sort key only prune one dimension).  The
+    z-value interleaves the bits of the two bucketized dimensions; rows
+    sorted/partitioned by it land in files whose per-file bounding
+    boxes are small in BOTH dimensions.  The query emits the per-bucket
+    bounding boxes (the audit a table optimizer runs to validate a
+    clustering): tight `bbox_area` per bucket = effective skipping.
+
+    The z-value is one arithmetic expression (JVM codegen, no UDF, no
+    shuffle); the audit aggregates to <=256 rows map-side.  The same
+    expression string is the DuckDB oracle — engine-parity by
+    construction."""
+    ev = load_table(spark, sf_dir, "events")
+    z = ev.select(
+        F.expr(_Z_UB).alias("ub"),
+        F.expr(_Z_VB).alias("vb"),
+        F.expr(_zorder_expr(_Z_UB, _Z_VB)).alias("zval"),
+    )
+    return (
+        z.groupBy(F.expr(f"(zval >> {_Z_BITS})").alias("zbucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("ub").alias("min_ub"),
+            F.max("ub").alias("max_ub"),
+            F.min("vb").alias("min_vb"),
+            F.max("vb").alias("max_vb"),
+        )
+        .select(
+            "zbucket",
+            "n",
+            "min_ub",
+            "max_ub",
+            "min_vb",
+            "max_vb",
+            (
+                (F.col("max_ub") - F.col("min_ub") + 1)
+                * (F.col("max_vb") - F.col("min_vb") + 1)
+            ).alias("bbox_area"),
+        )
+    )
+
+
+@register(
+    "mixture_resample_apply",
+    sql="""
+    WITH per AS (
+        SELECT source, lang,
+               CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens
+        FROM documents
+        GROUP BY source, lang
+    ), tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               COUNT(*) AS n_groups
+        FROM per
+    ), wt AS (
+        SELECT per.source, per.lang,
+               (1.0 / tot.n_groups) / (per.n_tokens * 1.0 / tot.total_tokens) AS w
+        FROM per, tot
+    ), rep AS (
+        SELECT d.source, d.lang, d.doc_id,
+               CAST(FLOOR(wt.w) AS BIGINT)
+               + CASE WHEN CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                           / 4294967296.0 < wt.w - FLOOR(wt.w)
+                      THEN 1 ELSE 0 END AS n_rep
+        FROM documents d
+        JOIN wt ON wt.source = d.source AND wt.lang = d.lang
+    )
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT)             AS n_docs_in,
+           CAST(SUM(n_rep) AS BIGINT)           AS n_rows_out,
+           CAST(SUM(doc_id * n_rep) AS BIGINT)  AS id_checksum
+    FROM rep
+    GROUP BY source, lang
+    """,
+    desc="apply mixture weights: deterministic hash-Bernoulli repeat/drop materializing the flattened domain mixture",
+)
+def mixture_resample_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step after corpus_mixture_weights: materialize the
+    reweighted corpus by repeating each doc floor(w) times plus one more
+    with probability frac(w) — decided by a content-hash uniform, not an
+    RNG, so the resample is identical across engines, retries, and
+    cluster layouts, and the oracle can replay it exactly.
+
+    The per-domain weight table is bounded (sources x langs) and
+    broadcasts onto the corpus scan; the repeat itself is
+    explode(sequence(1, n_rep)) — row fan-out exactly w-fold, no second
+    statistics pass over the corpus.  Output pins the achieved per-domain
+    row counts and the id-weighted checksum (exact membership-with-
+    multiplicity), aggregated from the EXPLODED rows — a fan-out bug
+    (off-by-one repeat, dropped domain) breaks the hash."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    ntok = F.size(word_tokens(F.col("text")))
+    per = docs.groupBy("source", "lang").agg(F.sum(ntok).alias("n_tokens"))
+    tot = per.agg(
+        F.sum("n_tokens").alias("total_tokens"), F.count("*").alias("n_groups")
+    )
+    wt = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        (
+            (1.0 / F.col("n_groups"))
+            / (F.col("n_tokens") * 1.0 / F.col("total_tokens"))
+        ).alias("w"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        / F.lit(4294967296.0)
+    )
+    n_rep = (
+        F.floor("w").cast("long")
+        + F.when(u < F.col("w") - F.floor("w"), F.lit(1)).otherwise(F.lit(0))
+    )
+    repeated = (
+        docs.select("source", "lang", "doc_id")
+        .join(F.broadcast(wt), ["source", "lang"])
+        .withColumn("n_rep", n_rep)
+        .where(F.col("n_rep") >= 1)  # sequence(1, 0) would step BACKWARD
+        .select(
+            "source", "lang", "doc_id",
+            F.explode(F.sequence(F.lit(1), F.col("n_rep"))).alias("_i"),
+        )
+    )
+    # domains whose every doc resolved to 0 repeats must still report
+    # (n_rows_out = 0): aggregate the exploded rows, then right-join the
+    # per-domain input counts
+    out_agg = repeated.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_rows_out"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+    in_counts = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs_in")
+    )
+    return (
+        in_counts.join(out_agg, ["source", "lang"], "left")
+        .select(
+            "source",
+            "lang",
+            "n_docs_in",
+            F.coalesce("n_rows_out", F.lit(0)).alias("n_rows_out"),
+            F.coalesce("id_checksum", F.lit(0)).alias("id_checksum"),
+        )
+    )
+
+
+_FRAME_EVERY_MS = 1000
+
+
+@register(
+    "media_video_frame_plan",
+    sql=f"""
+    SELECT doc_id AS media_id,
+           CAST(FLOOR((n_chars - 1) / {_FRAME_EVERY_MS}) + 1 AS BIGINT) AS n_frames,
+           CAST(FLOOR((n_chars - 1) / {_FRAME_EVERY_MS}) * {_FRAME_EVERY_MS} AS BIGINT)
+               AS max_frame_ts
+    FROM documents
+    WHERE n_chars > 0 AND doc_id % 3 = 0
+    """,
+    desc="multimodal: per-video frame-sampling plan (explode over computed sequence) under full oracle",
+)
+def media_video_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registers the video frame-sampling plan as a first-class query:
+    synthesize a video-media table (duration_ms stands in from
+    n_chars — the testdata has no blob column), run the
+    explode-over-sequence frame planner, and aggregate per video.  The
+    closed-form frame count/last-timestamp is the oracle, so a sequence
+    off-by-one (endpoint, step) breaks the hash.
+
+    Scale: the planner touches ONLY the metadata column — the payload
+    is never scanned (column pruning), and output rows scale with
+    frames, not bytes.  The real decoder attaches downstream as
+    mapInPandas over (media_id, frame_ts_ms) joined back to payloads."""
+    from sparkml_som_spark.operators.multimodal import sample_video_frames
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    media = docs.where(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.col("n_chars").alias("duration_ms"),
+    )
+    frames = sample_video_frames(media, every_ms=_FRAME_EVERY_MS)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max("frame_ts_ms").cast("long").alias("max_frame_ts"),
+    )
+
+
+_Z_THRESH = 2.0
+
+
+@register(
+    "anomaly_zscore_daily",
+    sql=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT event_type, day, n,
+               (n - AVG(n) OVER (PARTITION BY event_type))
+                   / stddev_samp(n) OVER (PARTITION BY event_type) AS z
+        FROM daily
+    )
+    SELECT event_type, day, n, ROUND(z, 4) AS z
+    FROM scored
+    WHERE ABS(z) > {_Z_THRESH}
+    """,
+    desc="per-key anomaly screen: daily event-volume z-scores, flag |z| > 2 days",
+)
+def anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly screening — the monitor that catches a broken
+    ingest (a day of dropped or duplicated events) before it poisons a
+    training snapshot.  The event stream aggregates FIRST to the
+    bounded (type, day) table — one map-side-combined shuffle — and the
+    z-score window runs over that bounded table only, partitioned by
+    type: the window input is days-per-type rows, never the corpus, so
+    there is no global sort and no hot task at any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type")
+    z = (F.col("n") - F.avg("n").over(w)) / F.stddev_samp("n").over(w)
+    return (
+        daily.withColumn("z", z)
+        .where(F.abs(F.col("z")) > _Z_THRESH)
+        .select("event_type", "day", "n", F.round("z", 4).alias("z"))
+    )
+
+
+_IDX_MIN_DF = 20
+_IDX_POSTINGS_K = 10
+
+
+@register(
+    "inverted_index_postings",
+    sql=f"""
+    WITH td AS (
+        SELECT DISTINCT term, doc_id
+        FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+        )
+    )
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           list_slice(list_sort(list(doc_id)), 1, {_IDX_POSTINGS_K}) AS postings
+    FROM td
+    GROUP BY term
+    HAVING COUNT(*) >= {_IDX_MIN_DF}
+    """,
+    desc="inverted-index build: per-term document frequency + capped sorted postings (hot-key-safe truncation)",
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list construction — the core of search/decontamination
+    indexes over a corpus.  The hot-key trap in index builds is a
+    stopword's posting list materializing unbounded inside ONE
+    aggregation buffer; here the per-term window truncates postings to
+    the K smallest doc_ids BEFORE collect_list, so no buffer ever holds
+    more than K entries, while the document frequency comes from the
+    full co-partitioned count joined back on the same key (same-key
+    shuffles — AQE plans them without an extra exchange shape)."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    td = (
+        docs.select("doc_id", F.explode(word_tokens(F.col("text"))).alias("term"))
+        .distinct()
+    )
+    df_counts = (
+        td.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= _IDX_MIN_DF)
+    )
+    rk = F.row_number().over(Window.partitionBy("term").orderBy("doc_id"))
+    capped = td.withColumn("rk", rk).where(F.col("rk") <= _IDX_POSTINGS_K)
+    postings = capped.groupBy("term").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("postings")
+    )
+    return df_counts.join(postings, "term").select("term", "df", "postings")

@@ -1,0 +1,94 @@
+"""corpus_ops4 mechanics: z-order locality, resample fan-out bounds,
+frame-plan arithmetic, anomaly flags, posting-list caps — plus the
+plan shapes the scale story depends on."""
+
+from pyspark.sql import functions as F
+
+from sparkml_som_spark.operators.registry import load_all
+from sparkml_som_spark.plans import formatted_plan
+from sparkml_som_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _registry():
+    return load_all()
+
+
+def test_zorder_stays_jvm_side(spark):
+    """The z-value is codegen arithmetic: no Python evaluation node may
+    appear, and the audit is one keyed aggregation."""
+    df = _registry()["zorder_layout_events"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 256
+    # interleaving invariant: a z-bucket spans at most 16 consecutive
+    # ub values and 16 vb values (top 4 bits of each dim fixed)
+    for r in rows:
+        assert r["max_ub"] - r["min_ub"] < 16
+        assert r["max_vb"] - r["min_vb"] < 16
+        assert r["bbox_area"] <= 256
+
+
+def test_mixture_resample_fanout_bounds(spark):
+    """Each domain's output rows must lie in [floor(w)*n, ceil(w)*n] —
+    the hash-Bernoulli can only add 0 or 1 repeat per doc."""
+    import math
+
+    reg = _registry()
+    weights = {
+        (r["source"], r["lang"]): r["sample_weight"]
+        for r in reg["corpus_mixture_weights"].fn(spark, SF).collect()
+    }
+    out = reg["mixture_resample_apply"].fn(spark, SF).collect()
+    assert set(weights) == {(r["source"], r["lang"]) for r in out}
+    for r in out:
+        w = weights[(r["source"], r["lang"])]
+        n = r["n_docs_in"]
+        assert math.floor(w) * n <= r["n_rows_out"] <= math.ceil(w) * n
+
+
+def test_mixture_resample_broadcasts_weights(spark):
+    """The bounded per-domain weight table must broadcast onto the
+    corpus scan, never sort-merge against it."""
+    df = _registry()["mixture_resample_apply"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_video_frame_plan_prunes_payload(spark):
+    """The frame planner must read only metadata columns — documents.text
+    (the payload stand-in's source) must not reach the scan."""
+    df = _registry()["media_video_frame_plan"].fn(spark, SF)
+    plan = formatted_plan(df)
+    import re
+
+    for m in re.finditer(r"ReadSchema: (\S+)", plan):
+        assert "text" not in m.group(1), plan
+
+
+def test_anomaly_zscore_flags_only_outliers(spark):
+    rows = _registry()["anomaly_zscore_daily"].fn(spark, SF).collect()
+    for r in rows:
+        assert abs(r["z"]) > 2.0
+        assert r["n"] >= 1
+
+
+def test_inverted_index_caps_and_sorts_postings(spark):
+    from sparkml_som_spark.operators.corpus_ops4 import (
+        _IDX_MIN_DF,
+        _IDX_POSTINGS_K,
+    )
+
+    rows = _registry()["inverted_index_postings"].fn(spark, SF).collect()
+    assert rows, "expected at least one term over the df threshold"
+    for r in rows:
+        assert r["df"] >= _IDX_MIN_DF
+        assert 1 <= len(r["postings"]) <= _IDX_POSTINGS_K
+        assert r["postings"] == sorted(r["postings"])
+        # the cap keeps the SMALLEST doc_ids: postings are a prefix of
+        # the full sorted posting list, so max(postings) < any doc_id
+        # beyond the cap -- spot-check via df when the list is full
+        if r["df"] > _IDX_POSTINGS_K:
+            assert len(r["postings"]) == _IDX_POSTINGS_K
