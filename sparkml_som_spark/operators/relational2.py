@@ -69,14 +69,34 @@ def percentiles_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_users",
-    sql=None,  # HLL sketches are engine-specific -> rows-only
-    desc="approx_count_distinct (HLL) per event_type",
+    sql="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS approx_ok
+    FROM events
+    GROUP BY event_type
+    """,
+    desc="approx_count_distinct (HLL) per event_type, error-bound guard under full oracle",
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL sketch itself is engine-specific, but its ERROR CONTRACT
+    is not: the sketch estimate must land within 5% of the exact
+    distinct count (rsd=0.01 — 5 sigma of slack).  HLL is deterministic
+    for fixed data (hashes + max-per-register merge, layout-
+    independent), so the guard boolean is a stable full-oracle value —
+    the same shape a 100 TB pipeline uses to audit its sketch-based
+    dashboards against a periodic exact pass."""
     ev = load_table(spark, sf_dir, "events")
+    approx_ok = (
+        F.abs(
+            F.approx_count_distinct("user_id", rsd=0.01)
+            - F.countDistinct("user_id")
+        )
+        <= 0.05 * F.countDistinct("user_id")
+    )
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
+        approx_ok.alias("approx_ok"),
     )
 
 
@@ -109,17 +129,29 @@ def from_json_events_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_percentile_prices",
-    sql=None,  # t-digest/GK sketches are engine-specific -> rows-only
-    desc="approx_percentile sketch vs exact percentile per order status",
+    sql="""
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+           CAST(COUNT(*) AS BIGINT)                   AS n,
+           TRUE AS approx_ok
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    desc="approx_percentile sketch vs exact percentile per order status, error-bound guard under full oracle",
 )
 def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sketch path for the 100 TB case (exact percentile needs a full
-    sort per group); exact values alongside show the sketch error."""
+    sort per group).  The GK sketch's value is engine-specific, but its
+    error contract is checkable: at accuracy=10000 the median estimate
+    must land within 1% of the exact median, and the guard boolean plus
+    the exact values ride the full value-hash oracle."""
     orders = load_table(spark, sf_dir, "orders")
+    approx = F.percentile_approx("o_totalprice", 0.5, 10000)
+    exact = F.percentile("o_totalprice", F.lit(0.5))
     return orders.groupBy("o_orderstatus").agg(
-        F.round(F.percentile_approx("o_totalprice", 0.5, 10000), 4).alias("p50_approx"),
-        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50_exact"),
+        F.round(exact, 4).alias("p50_exact"),
         F.count("*").alias("n"),
+        (F.abs(approx - exact) <= 0.01 * exact).alias("approx_ok"),
     )
 
 

@@ -236,3 +236,46 @@ def source_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("sum_total_good"),
     )
+
+
+@register(
+    "sink_bucketed_join_revenue",
+    sql="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT)     AS n_items,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    desc="bucketed-table sink: write both join sides bucketed on the key, join the read-back without a join-side exchange",
+)
+def sink_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The storage-side answer to the fact-fact shuffle: write orders
+    AND lineitem bucketed by orderkey (same bucket count, sorted within
+    buckets), then join the read-back tables.  The co-location is baked
+    into the layout, so the sort-merge join plans with NO exchange on
+    either side — at 100 TB this converts every subsequent
+    orders-lineitem join from two corpus shuffles into a local merge
+    (the zero-exchange plan is asserted in tests/test_bucketing.py
+    with broadcast/AQE pinned off; here AQE may still choose to
+    broadcast the small side, which is also shuffle-free).  The oracle
+    checks the revenue rollup equals the plain join's."""
+    from sparkml_som_spark.sources.bucketing import bucketed_join, write_bucketed
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    ot, lt = f"orders_bkt_{sf_tag}", f"lineitem_bkt_{sf_tag}"
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"), "l_extendedprice", "l_discount"
+    )
+    write_bucketed(orders, ot, "orderkey", n_buckets=8)
+    write_bucketed(li, lt, "orderkey", n_buckets=8)
+    joined = bucketed_join(spark, lt, ot, on="orderkey")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )

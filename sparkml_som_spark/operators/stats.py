@@ -203,3 +203,51 @@ def grouped_map_ols_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("source").applyInPandas(
         fit_group, schema="source string, slope double, intercept double, n long"
     )
+
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    "profile_table_columns",
+    sql="""
+    """
+    + "\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS col_name,
+           CAST(COUNT(*) FILTER (WHERE {c} IS NULL) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT)                 AS n_distinct,
+           ROUND(MIN({c}), 4) AS min_v,
+           ROUND(MAX({c}), 4) AS max_v
+    FROM lineitem"""
+        for c in _PROFILE_COLS
+    ),
+    desc="one-pass column profiler (ANALYZE): per-column nulls, distinct, min/max from a single scan",
+)
+def profile_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANALYZE/profiling pass every engine runs before planning and
+    every data team runs before training: per-column null counts,
+    distinct cardinality, and value bounds.  All four columns profile in
+    ONE scan (one wide agg row, unpivoted driver-side via stack) —
+    the naive per-column UNION ALL form (which the oracle uses) scans
+    the table once per column, 4x the IO at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.round(F.min(c), 4).alias(f"{c}__min"),
+            F.round(F.max(c), 4).alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+            "AS (col_name, n_nulls, n_distinct, min_v, max_v)"
+        )
+    )

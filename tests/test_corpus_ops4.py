@@ -75,6 +75,24 @@ def test_anomaly_zscore_flags_only_outliers(spark):
         assert r["n"] >= 1
 
 
+def test_profile_single_scan(spark):
+    """The one-pass profiler must read the table ONCE (one parquet scan
+    node) — the per-column rescan shape is exactly what it replaces."""
+    import re
+
+    df = _registry()["profile_table_columns"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_approx_guards_hold(spark):
+    reg = _registry()
+    for name in ("approx_distinct_users", "approx_percentile_prices"):
+        rows = reg[name].fn(spark, SF).collect()
+        assert rows
+        assert all(r["approx_ok"] for r in rows), name
+
+
 def test_inverted_index_caps_and_sorts_postings(spark):
     from sparkml_som_spark.operators.corpus_ops4 import (
         _IDX_MIN_DF,
