@@ -122,8 +122,14 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_som",
-    sql=None,  # SOM assignment is not SQL-expressible -> rows-only check
-    desc="IVF-style ANN: SOM cells as coarse quantizer, probe 8 nearest cells",
+    sql=f"""
+    SELECT vec_id AS query_id,
+           CAST({TOP_K} AS BIGINT) AS k_returned,
+           CAST(0 AS BIGINT)       AS n_outside_bf_top2k
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+    ORDER BY query_id
+    """,
+    desc="IVF-style ANN: SOM cells as coarse quantizer, probe 8 nearest cells; recall guard under full oracle",
 )
 def ann_ivf_som(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a small SOM over the corpus; its cells form the IVF coarse
@@ -138,6 +144,12 @@ def ann_ivf_som(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reuses the session-cached 5x5 SOM from `fit_default_som` — the IVF
     partition quality only improves with the finer grid, and the fit
     cost is amortized across every SOM-backed query in the session.
+
+    Like ann_lsh_hyperplane, the SOM assignment is not SQL-expressible
+    but the result's quality contract is: the query returns the
+    per-query recall guard (exactly k results, all inside the exact
+    brute-force top-2k, verified Spark-side) under the FULL value hash.
+    The seeded fit makes the guard deterministic across sessions.
     """
     import numpy as np
 
@@ -177,10 +189,53 @@ def ann_ivf_som(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
-    return (
+    topk = (
         cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "rank", F.round("cos_raw", 4).alias("cos_sim"))
+        .select("query_id", "neighbor_id")
+    )
+    return _recall_guard(emb_v(emb), topk)
+
+
+def emb_v(emb: DataFrame) -> DataFrame:
+    """Embeddings projected to the (vec_id, v:double-array) shape the
+    guard's brute-force pass scores against."""
+    cols = set(emb.columns)
+    if "v" in cols:
+        return emb.select("vec_id", "v")
+    return emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+
+
+def _recall_guard(emb: DataFrame, topk: DataFrame) -> DataFrame:
+    """Per-query ANN recall guard: join an approximate top-k result set
+    (query_id, neighbor_id) against the EXACT brute-force top-2k for
+    the same query sample and report (k_returned, n_outside_bf_top2k).
+    The guard is the full-oracle surface for ANN variants whose index
+    (SOM cells, random planes) is not SQL-expressible; at production
+    scale it is the sampled-recall audit run beside the index."""
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    bf = (
+        emb.join(F.broadcast(q), emb.vec_id != q.query_id)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v")).alias("cos_raw"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 2 * TOP_K)
+        .select("query_id", "neighbor_id", F.lit(1).alias("in_bf"))
+    )
+    return (
+        topk.join(F.broadcast(bf), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("k_returned"),
+            F.count_if(F.col("in_bf").isNull()).alias("n_outside_bf_top2k"),
+        )
+        .orderBy("query_id")
     )
 
 
@@ -241,35 +296,9 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id")
     )
-
-    # exact brute-force top-2k for the same query sample (the guard's
-    # ground truth) — computed Spark-side, bounded by N_QUERIES * corpus
-    q = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    bf = (
-        emb.join(F.broadcast(q), emb.vec_id != q.query_id)
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qv"), F.col("v")).alias("cos_raw"),
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 2 * TOP_K)
-        .select("query_id", "neighbor_id", F.lit(1).alias("in_bf"))
-    )
     from sparkml_som_spark.operators.registry import materialize_small
 
-    guard = (
-        lsh_topk.join(F.broadcast(bf), ["query_id", "neighbor_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.count("*").alias("k_returned"),
-            F.count_if(F.col("in_bf").isNull()).alias("n_outside_bf_top2k"),
-        )
-        .orderBy("query_id")
-    )
-    return materialize_small(guard, cleanup=(bc_planes,))
+    return materialize_small(_recall_guard(emb, lsh_topk), cleanup=(bc_planes,))
 
 
 @register(

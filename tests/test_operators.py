@@ -87,17 +87,17 @@ def test_ann_bruteforce_topk_shape(spark, registry):
         assert all(r["neighbor_id"] != q for r in rs)
 
 
-def test_ann_ivf_recall_against_bruteforce(spark, registry):
-    brute = {
-        (r["query_id"], r["neighbor_id"])
-        for r in registry["ann_topk_bruteforce"].fn(spark, SF).collect()
-    }
-    ivf = {
-        (r["query_id"], r["neighbor_id"])
-        for r in registry["ann_ivf_som"].fn(spark, SF).collect()
-    }
-    recall = len(brute & ivf) / len(brute)
-    assert recall >= 0.5, f"IVF recall {recall} too low"  # 8/25 cells probed
+def test_ann_ivf_recall_guard(spark, registry):
+    """ann_ivf_som now RETURNS its recall guard (same contract as
+    ann_lsh_hyperplane): k results per query, all inside the exact
+    brute-force top-2k."""
+    from sparkml_som_spark.operators.similarity import N_QUERIES, TOP_K
+
+    rows = registry["ann_ivf_som"].fn(spark, SF).collect()
+    assert len(rows) == N_QUERIES
+    for r in rows:
+        assert r["k_returned"] == TOP_K
+        assert r["n_outside_bf_top2k"] == 0
 
 
 def test_simhash_detects_near_dups(spark, registry):
