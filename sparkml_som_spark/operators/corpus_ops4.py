@@ -361,3 +361,77 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_list("doc_id")).alias("postings")
     )
     return df_counts.join(postings, "term").select("term", "df", "postings")
+
+
+_RETENTION_MAX_WEEK = 4
+
+
+@register(
+    "retention_cohort_matrix",
+    sql=f"""
+    WITH s AS (
+        SELECT user_id, MIN(ts) AS s_ts
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), act AS (
+        SELECT DISTINCT s.user_id,
+               CAST(date_trunc('week', s.s_ts) AS DATE) AS cohort_week,
+               CAST(FLOOR(date_diff('day', s.s_ts, e.ts) / 7.0) AS BIGINT)
+                   AS week_offset
+        FROM s JOIN events e ON e.user_id = s.user_id AND e.ts >= s.s_ts
+    ), coh AS (
+        SELECT CAST(date_trunc('week', s_ts) AS DATE) AS cohort_week,
+               CAST(COUNT(*) AS BIGINT) AS n_cohort
+        FROM s GROUP BY 1
+    )
+    SELECT act.cohort_week, act.week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           coh.n_cohort,
+           ROUND(COUNT(*) * 1.0 / coh.n_cohort, 4) AS retention
+    FROM act JOIN coh ON coh.cohort_week = act.cohort_week
+    WHERE act.week_offset <= {_RETENTION_MAX_WEEK}
+    GROUP BY act.cohort_week, act.week_offset, coh.n_cohort
+    """,
+    desc="retention cohort matrix: signup-week cohorts x week offsets, distinct-active retention rates",
+)
+def retention_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cohort-retention grid (signup week x weeks-since-signup) —
+    the other half of product analytics next to the funnel: not a
+    sequence of steps but a presence matrix.  Distinct (user, offset)
+    activity keys the count, so a burst of events in one week counts
+    once.
+
+    Scale: both hops shuffle on user_id (signup reduction, then
+    activity join) — co-partitioned; the distinct and the final rollup
+    run over (users x 5 offsets) bounded rows, and the cohort-size
+    join is a bounded-table equi-join.  No window over the event
+    stream, no cross of cohorts x offsets beyond the grid itself."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s = ev.where(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("s_ts")
+    )
+    act = (
+        s.join(ev.select("user_id", "ts"), "user_id")
+        .where(F.col("ts") >= F.col("s_ts"))
+        .select(
+            "user_id",
+            F.date_trunc("week", "s_ts").cast("date").alias("cohort_week"),
+            F.floor(F.datediff("ts", "s_ts") / 7.0).alias("week_offset"),
+        )
+        .where(F.col("week_offset") <= _RETENTION_MAX_WEEK)
+        .distinct()
+    )
+    coh = s.groupBy(
+        F.date_trunc("week", "s_ts").cast("date").alias("cohort_week")
+    ).agg(F.count(F.lit(1)).alias("n_cohort"))
+    return (
+        act.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(coh, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "n_cohort",
+            F.round(F.col("n_active") / F.col("n_cohort"), 4).alias("retention"),
+        )
+    )

@@ -93,6 +93,20 @@ def test_approx_guards_hold(spark):
         assert all(r["approx_ok"] for r in rows), name
 
 
+def test_retention_rates_bounded_and_anchored(spark):
+    """Week-0 retention is 1.0 by construction (the signup event itself
+    is activity at offset 0) and every rate lies in (0, 1]."""
+    rows = _registry()["retention_cohort_matrix"].fn(spark, SF).collect()
+    assert rows
+    by_cohort0 = {r["cohort_week"]: r for r in rows if r["week_offset"] == 0}
+    for r in by_cohort0.values():
+        assert r["n_active"] == r["n_cohort"]
+        assert r["retention"] == 1.0
+    for r in rows:
+        assert 0 < r["retention"] <= 1.0
+        assert 0 <= r["week_offset"] <= 4
+
+
 def test_inverted_index_caps_and_sorts_postings(spark):
     from sparkml_som_spark.operators.corpus_ops4 import (
         _IDX_MIN_DF,
