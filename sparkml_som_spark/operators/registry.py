@@ -96,7 +96,11 @@ def register(name: str, sql: str | None = None, desc: str = ""):
 # nullsafe_join_flags -> length_trim_quantile;
 # source_csv_lineitem -> negative_sampling_pairs.  All swapped-out
 # entries were driver-green >=2 consecutive rounds and remain swept by
-# the local gate.
+# the local gate.  Three further long-green slots went to round-5
+# operators so the new surface starts accruing driver verdicts:
+# interval_join_click_after_signup -> retention_cohort_matrix,
+# dedup_embedding_cosine -> zorder_layout_events,
+# dedup_exact_groups -> mixture_resample_apply.
 _PRIORITY: tuple[str, ...] = (
     "som_cluster_summary",
     "som_quantization_error",
@@ -106,7 +110,7 @@ _PRIORITY: tuple[str, ...] = (
     "ann_ivf_som",
     "ann_lsh_hyperplane",
     "asof_join_signup_attribution",
-    "interval_join_click_after_signup",
+    "retention_cohort_matrix",
     "window_topk_orders_per_customer",
     "window_analytic_suite",
     "dedup_connected_components",
@@ -135,11 +139,11 @@ _PRIORITY: tuple[str, ...] = (
     "doc_fingerprint",
     "text_som_topics",
     "pipeline_clean_corpus",
-    "dedup_exact_groups",
+    "mixture_resample_apply",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_embedding_cosine",
+    "zorder_layout_events",
     "dedup_incremental_exact",
     "negative_sampling_pairs",
     "stream_tumbling_window",
