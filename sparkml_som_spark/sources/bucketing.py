@@ -22,7 +22,21 @@ def write_bucketed(
 ) -> None:
     """Persist df as a bucketed managed table (parquet). Joins between
     tables bucketed on the same column with the same bucket count skip
-    the exchange entirely."""
+    the exchange entirely.
+
+    Idempotent ACROSS sessions: a fresh session's in-memory catalog
+    does not know tables a previous session wrote, but their warehouse
+    directories survive on disk — saveAsTable then fails with
+    LOCATION_ALREADY_EXISTS even in overwrite mode.  Drop the catalog
+    entry AND clear the stale location before writing."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    loc = f"{warehouse}/{table_name.lower()}"
+    shutil.rmtree(loc, ignore_errors=True)
     writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
     writer = writer.sortBy(sort_col or bucket_col)
     writer.saveAsTable(table_name)
