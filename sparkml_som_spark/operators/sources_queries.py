@@ -279,3 +279,76 @@ def sink_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         ),
     )
+
+
+@register(
+    "dpp_partitioned_fact_join",
+    sql="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT)    AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_total
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+    desc="dynamic partition pruning: status-partitioned fact scan pruned at runtime by a filtered dimension join",
+)
+def dpp_partitioned_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning — the mechanism that makes a
+    partitioned 100 TB fact readable through a dimension filter the
+    optimizer cannot see statically: the broadcast side's build keys
+    feed a runtime IN-filter into the fact scan's PartitionFilters, so
+    only the matching partition directories are read at all.  Here the
+    fact is orders partitioned by o_orderstatus and the dim filter
+    (label = 'final' -> status 'F') only exists at runtime; the plan
+    carries `dynamicpruningexpression` on the scan (plan-tested).  The
+    oracle is the statically-filtered equivalent."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = _scratch(sf_dir, "orders_dpp_part")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(base)
+    fact = spark.read.parquet(base)
+    dim = spark.createDataFrame(
+        [("F", "final"), ("O", "open"), ("P", "pending")], "status string, label string"
+    )
+    return (
+        fact.join(
+            dim.where(F.col("label") == "final"),
+            fact.o_orderstatus == F.col("status"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+        )
+    )
+
+
+@register(
+    "sink_compaction_rebalance",
+    sql="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)     AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY source
+    """,
+    desc="small-file compaction sink: AQE REBALANCE write producing target-sized files, conservation-checked on read-back",
+)
+def sink_compaction_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The small-file answer: a 100 TB table accumulated from thousands
+    of micro-batch/partition writes fragments into millions of tiny
+    files that throttle every subsequent scan (footer + open cost per
+    file).  Compaction = read, `REBALANCE` hint (AQE coalesces/splits
+    shuffle blocks to spark.sql.adaptive.advisoryPartitionSizeInBytes),
+    rewrite.  Unlike a fixed repartition(n), REBALANCE adapts file
+    count to the actual data volume and splits skewed blocks.  The
+    read-back aggregate hash-matches the source — compaction must be
+    byte-lossless."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = _scratch(sf_dir, "docs_compacted")
+    docs.hint("rebalance").write.mode("overwrite").parquet(base)
+    compacted = spark.read.parquet(base)
+    return compacted.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )

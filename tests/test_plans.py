@@ -144,6 +144,24 @@ def test_funnel_no_cartesian(spark, registry):
     assert "Join" in plan
 
 
+def test_dpp_prunes_partitions_at_runtime(spark, registry):
+    """The status-partitioned fact scan must carry a runtime
+    dynamicpruningexpression in its PartitionFilters — reading all
+    partitions and filtering after the join would defeat the layout."""
+    df = registry["dpp_partitioned_fact_join"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_incremental_merge_single_pass_per_slice(spark, registry):
+    """The merge is union of two partial aggregates re-aggregated on the
+    same keys — no join, no window, no cartesian."""
+    df = registry["incremental_agg_merge"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+
+
 def test_funnel_cohort_no_cartesian(spark, registry):
     """The grouped cohort funnel reuses the per-user stage tables and
     must stay all-equi-join: no cartesian, no nested loop anywhere (it
