@@ -435,3 +435,65 @@ def retention_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_active") / F.col("n_cohort"), 4).alias("retention"),
         )
     )
+
+
+_CURRICULUM_PHASES = 4
+
+# the oracle's quality subquery is text.py's QUALITY_SQL verbatim, so
+# the band formula can never silently diverge between the two entries
+from sparkml_som_spark.operators.text import QUALITY_SQL as _QUALITY_SQL  # noqa: E402
+
+
+@register(
+    "curriculum_phases",
+    sql=f"""
+    WITH q AS ({_QUALITY_SQL}),
+    n AS (SELECT COUNT(*) AS cnt FROM q),
+    ranked AS (
+        SELECT q.doc_id, q.quality,
+               CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY q.quality DESC, q.doc_id)
+                           - 1) * {_CURRICULUM_PHASES} * 1.0 / n.cnt) AS BIGINT)
+                   AS phase
+        FROM q, n
+    )
+    SELECT phase,
+           CAST(COUNT(*) AS BIGINT)    AS n_docs,
+           ROUND(MIN(quality), 4)      AS min_q,
+           ROUND(MAX(quality), 4)      AS max_q,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM ranked
+    GROUP BY phase
+    """,
+    desc="curriculum ordering: quality-ranked corpus dealt into training phases via the two-phase distributed global rank",
+)
+def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum construction — order the corpus easy/clean-first and
+    cut it into training phases: score quality (shared band formula),
+    rank globally by (quality DESC, doc_id), and assign
+    phase = floor(rank * P / N).  Composes the two primitives whose
+    scale shapes are already pinned: the TWO-PHASE distributed global
+    rank (no single-task window) and the one-row broadcast count (N
+    folded into the plan, no driver action).  id_checksum pins exact
+    phase membership."""
+    from sparkml_som_spark.operators.corpus_ops3 import distributed_global_rank
+    from sparkml_som_spark.operators.text import quality_scored
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    q = quality_scored(docs).select("doc_id", "quality")
+    ranked = distributed_global_rank(
+        q, [F.col("quality").desc(), F.col("doc_id").asc()], n_parts=8
+    )
+    cnt = q.agg(F.count(F.lit(1)).alias("cnt"))
+    phase = F.floor(
+        F.col("rank") * _CURRICULUM_PHASES * 1.0 / F.col("cnt")
+    ).alias("phase")
+    return (
+        ranked.crossJoin(F.broadcast(cnt))
+        .groupBy(phase)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("quality"), 4).alias("min_q"),
+            F.round(F.max("quality"), 4).alias("max_q"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+    )

@@ -43,31 +43,30 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_quality_score",
-    sql=f"""
-    SELECT doc_id,
-           n_tokens,
-           ROUND(stop_ratio, 4)  AS stopword_ratio,
-           ROUND(awl, 4)         AS avg_word_len,
-           ROUND(CAST( (CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 0.5 ELSE 0.0 END)
-                     + (CASE WHEN stop_ratio BETWEEN 0.05 AND 0.5 THEN 0.3 ELSE 0.0 END)
-                     + (CASE WHEN awl BETWEEN 3 AND 8 THEN 0.2 ELSE 0.0 END)
-                 AS DOUBLE), 4) AS quality
-    FROM (
-        SELECT doc_id,
-               len(string_split(lower(text), ' ')) AS n_tokens,
-               len(list_filter(string_split(lower(text), ' '), w -> w IN {_SW_SQL}))
-                   * 1.0 / len(string_split(lower(text), ' ')) AS stop_ratio,
-               length(replace(text, ' ', '')) * 1.0
-                   / len(string_split(lower(text), ' ')) AS awl
-        FROM documents
-    )
-    """,
-    desc="heuristic quality score: length/stopword/word-length bands",
-)
-def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents", spread=True)
+# The quality-band subquery, shared with curriculum_phases' oracle —
+# yields (doc_id, n_tokens, stop_ratio, awl, quality) per document
+QUALITY_SQL = f"""
+        SELECT doc_id, n_tokens, stop_ratio, awl,
+               CAST( (CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 0.5 ELSE 0.0 END)
+                   + (CASE WHEN stop_ratio BETWEEN 0.05 AND 0.5 THEN 0.3 ELSE 0.0 END)
+                   + (CASE WHEN awl BETWEEN 3 AND 8 THEN 0.2 ELSE 0.0 END)
+                 AS DOUBLE) AS quality
+        FROM (
+            SELECT doc_id,
+                   len(string_split(lower(text), ' ')) AS n_tokens,
+                   len(list_filter(string_split(lower(text), ' '), w -> w IN {_SW_SQL}))
+                       * 1.0 / len(string_split(lower(text), ' ')) AS stop_ratio,
+                   length(replace(text, ' ', '')) * 1.0
+                       / len(string_split(lower(text), ' ')) AS awl
+            FROM documents
+        )
+"""
+
+
+def quality_scored(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, stop_ratio, awl, quality) per document — the
+    Spark twin of QUALITY_SQL, shared by text_quality_score and the
+    curriculum composition."""
     toks = word_tokens(F.col("text"))
     n_tokens = F.size(toks)
     stop_ratio = F.size(F.filter(toks, lambda w: w.isin(STOPWORDS))) / n_tokens
@@ -80,9 +79,32 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(awl, 4).alias("avg_word_len"),
-        F.round(quality, 4).alias("quality"),
+        stop_ratio.alias("stop_ratio"),
+        awl.alias("awl"),
+        quality.alias("quality"),
+    )
+
+
+@register(
+    "text_quality_score",
+    sql=f"""
+    SELECT doc_id,
+           n_tokens,
+           ROUND(stop_ratio, 4)  AS stopword_ratio,
+           ROUND(awl, 4)         AS avg_word_len,
+           ROUND(quality, 4)     AS quality
+    FROM ({QUALITY_SQL})
+    """,
+    desc="heuristic quality score: length/stopword/word-length bands",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return quality_scored(docs).select(
+        "doc_id",
+        "n_tokens",
+        F.round("stop_ratio", 4).alias("stopword_ratio"),
+        F.round("awl", 4).alias("avg_word_len"),
+        F.round("quality", 4).alias("quality"),
     )
 
 

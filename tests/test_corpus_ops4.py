@@ -93,6 +93,25 @@ def test_approx_guards_hold(spark):
         assert all(r["approx_ok"] for r in rows), name
 
 
+def test_curriculum_phases_partition_and_order(spark):
+    """Phases partition the corpus (sizes sum to N, within 1 of N/P)
+    and quality is non-increasing across phase boundaries."""
+    from sparkml_som_spark.operators.corpus_ops4 import _CURRICULUM_PHASES
+    from sparkml_som_spark.sources import load_table
+
+    n = load_table(spark, SF, "documents").count()
+    rows = sorted(
+        _registry()["curriculum_phases"].fn(spark, SF).collect(),
+        key=lambda r: r["phase"],
+    )
+    assert [r["phase"] for r in rows] == list(range(_CURRICULUM_PHASES))
+    assert sum(r["n_docs"] for r in rows) == n
+    for r in rows:
+        assert abs(r["n_docs"] - n / _CURRICULUM_PHASES) <= 1
+    for a, b in zip(rows, rows[1:]):
+        assert a["min_q"] >= b["max_q"] - 1e-9  # easy-first ordering
+
+
 def test_retention_rates_bounded_and_anchored(spark):
     """Week-0 retention is 1.0 by construction (the signup event itself
     is activity at offset 0) and every rate lies in (0, 1]."""
