@@ -31,6 +31,14 @@ QUERIES = [
     "corpus_mixture_weights",      # corpus agg + one-row broadcast total
     "length_trim_quantile",        # one-row quantile bounds broadcast
     "funnel_cohort_daily",         # 3 keyed hops + per-day rollup
+    "zorder_layout_events",        # codegen bit-interleave + bounded agg
+    "inverted_index_postings",     # capped postings, co-partitioned df
+    "retention_cohort_matrix",     # user_id-co-partitioned hops
+    "dpp_partitioned_fact_join",   # runtime partition pruning
+    "incremental_agg_merge",       # delta-only refresh + partial merge
+    "curriculum_phases",           # quality rank -> phase rollup
+    "mixture_resample_apply",      # broadcast weights + hash fan-out
+    "anomaly_zscore_daily",        # bounded-table window
 ]
 
 
