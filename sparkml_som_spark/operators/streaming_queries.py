@@ -41,6 +41,7 @@ _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.
 # five streaming queries don't re-write it five times.
 _SRC_CACHE: dict[str, str] = {}
 _EMB_SRC_CACHE: dict[str, str] = {}
+_DOC_SRC_CACHE: dict[str, str] = {}
 
 
 def _stream_source(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
@@ -448,4 +449,75 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+@register(
+    "stream_incremental_dedup_index",
+    sql="""
+    SELECT source, CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique
+    FROM documents
+    GROUP BY source
+    """,
+    desc="streaming ingest dedup against a persistent fingerprint index: foreachBatch anti-join + append across rate-limited micro-batches",
+)
+def stream_incremental_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup — the streaming twin of
+    dedup_incremental_exact: documents arrive in rate-limited
+    micro-batches, each batch fingerprints its rows, anti-joins against
+    the PERSISTENT index of everything already ingested, and appends
+    only the novel fingerprints.  State lives in the index table, not
+    in stream state stores, so it survives restarts and is queryable —
+    the shape a 100 TB ingest actually uses (with the index bucketed on
+    the fingerprint so the per-batch anti-join is co-located; the
+    per-batch cost tracks the BATCH, never the corpus).
+
+    Within-batch duplicates collapse first (dropDuplicates on the key),
+    cross-batch duplicates die in the anti-join; the final index must
+    hold exactly the distinct (source, fingerprint) set of the corpus —
+    the oracle's relational distinct count."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = os.path.basename(os.path.normpath(sf_dir))
+    # rewritten once per (session, sf) like _SRC_CACHE — an existence
+    # check alone would trust a stale dir from an older session
+    src = _DOC_SRC_CACHE.get(key)
+    if src is None:
+        src = os.path.join(_SCRATCH, key, "docs_stream_src")
+        # 16 source files + maxFilesPerTrigger=4 -> 4 real micro-batches
+        docs.repartition(16).write.mode("overwrite").parquet(src)
+        _DOC_SRC_CACHE[key] = src
+    index_dir = os.path.join(_SCRATCH, key, "dedup_fp_index")
+    shutil.rmtree(index_dir, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src)
+    )
+    fp = stream.select("source", F.md5("text").alias("fp"))
+
+    def merge(batch_df, batch_id):
+        batch = batch_df.dropDuplicates(["source", "fp"])
+        if os.path.isdir(index_dir):
+            idx = batch_df.sparkSession.read.parquet(index_dir)
+            batch = batch.join(idx, ["source", "fp"], "left_anti")
+        batch.write.mode("append").parquet(index_dir)
+
+    q = (
+        fp.writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    return (
+        spark.read.parquet(index_dir)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
     )

@@ -177,3 +177,29 @@ def test_transform_with_state_matches_applyinpandas(spark, event_stream, tmp_pat
     old = drain(stateful_user_profile(stream), "tws_old")
     new = drain(stateful_user_profile_tws(stream), "tws_new")
     assert old == new and len(old) > 0
+
+
+def test_stream_incremental_dedup_multibatch(spark):
+    """The fingerprint index must be built across SEVERAL micro-batches
+    (rate-limited source) and end exactly at the distinct
+    (source, fingerprint) set — nothing lost or double-ingested at
+    batch boundaries."""
+    from pyspark.sql import functions as F
+
+    from sparkml_som_spark.operators.registry import load_all
+    from sparkml_som_spark.sources import load_table
+
+    SF = "/root/testdata/sf0.001"
+    reg = load_all()
+    out = {
+        r["source"]: r["n_unique"]
+        for r in reg["stream_incremental_dedup_index"].fn(spark, SF).collect()
+    }
+    want = {
+        r["source"]: r["n"]
+        for r in load_table(spark, SF, "documents")
+        .groupBy("source")
+        .agg(F.countDistinct(F.md5("text")).alias("n"))
+        .collect()
+    }
+    assert out == want
