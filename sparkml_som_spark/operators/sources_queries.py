@@ -352,3 +352,32 @@ def sink_compaction_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
     )
+
+
+@register(
+    "source_binaryfile_blobs",
+    sql="""
+    SELECT CAST(8 AS BIGINT)                        AS n_files,
+           CAST(SUM(length(text) + 1) AS BIGINT)    AS total_bytes
+    FROM documents
+    """,
+    desc="binaryFile source: whole-file blob ingestion with byte-exact conservation against the row form",
+)
+def source_binaryfile_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingestion path real image/audio corpora use: files land as
+    opaque blobs and `binaryFile` reads (path, length, content) with
+    the CONTENT column loaded lazily — a metadata-only query (counts,
+    size histograms) never reads the bytes, which at 100 TB of media is
+    the difference between a listing and a full scan.  Here the corpus
+    text is spilled to 8 line-delimited files, read back as whole-file
+    blobs, and checked byte-exactly: sum(file lengths) must equal
+    sum(row lengths + newline) — a truncated or double-read file breaks
+    the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = _scratch(sf_dir, "docs_blob_files")
+    docs.select("text").repartition(8).write.mode("overwrite").text(base)
+    blobs = spark.read.format("binaryFile").load(base)
+    return blobs.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("length").alias("total_bytes"),
+    )
