@@ -31,6 +31,22 @@ def test_zorder_stays_jvm_side(spark):
         assert r["bbox_area"] <= 256
 
 
+def test_zorder_expr_is_bijective():
+    """The interleave must be a bijection from (8-bit, 8-bit) onto
+    [0, 65536) — checked exhaustively via DuckDB (the same engine that
+    runs the oracle side of the query), no Spark needed."""
+    import duckdb
+
+    from sparkml_som_spark.operators.corpus_ops4 import _zorder_expr
+
+    z = _zorder_expr("(i % 256)", "(i // 256)")
+    n_distinct, zmin, zmax = duckdb.sql(
+        f"SELECT COUNT(DISTINCT ({z})), MIN({z}), MAX({z})"
+        " FROM range(65536) t(i)"
+    ).fetchone()
+    assert (n_distinct, zmin, zmax) == (65536, 0, 65535)
+
+
 def test_mixture_resample_fanout_bounds(spark):
     """Each domain's output rows must lie in [floor(w)*n, ceil(w)*n] —
     the hash-Bernoulli can only add 0 or 1 repeat per doc."""
