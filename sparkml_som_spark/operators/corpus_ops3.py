@@ -605,19 +605,16 @@ def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     and each stage's output is bounded by the user population, not the
     event volume."""
     s, c, p = _funnel_stages(load_table(spark, sf_dir, "events"))
-    ns = s.agg(F.count("*").alias("n_signup"))
-    nc = c.agg(F.count("*").alias("n_click"))
-    np_ = p.agg(F.count("*").alias("n_purchase"))
-    return (
-        ns.crossJoin(nc)
-        .crossJoin(np_)
-        .select(
-            "n_signup",
-            "n_click",
-            "n_purchase",
-            F.round(F.col("n_click") / F.col("n_signup"), 4).alias("click_rate"),
-            F.round(F.col("n_purchase") / F.col("n_click"), 4).alias("purchase_rate"),
-        )
+    # ONE pass: left-join the per-user stage tables on their shared key
+    # and count stage columns in a single aggregate — the three-counter
+    # crossJoin form computed the shared stages three times over
+    joined = s.join(c, "user_id", "left").join(p, "user_id", "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_signup"),
+        F.count("c_ts").alias("n_click"),
+        F.count("p_ts").alias("n_purchase"),
+        F.round(F.count("c_ts") / F.count(F.lit(1)), 4).alias("click_rate"),
+        F.round(F.count("p_ts") / F.count("c_ts"), 4).alias("purchase_rate"),
     )
 
 

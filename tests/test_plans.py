@@ -135,11 +135,13 @@ def test_negative_pairs_equi_join_no_cartesian(spark, registry):
 
 def test_funnel_no_cartesian(spark, registry):
     """Every funnel hop must plan as an equi-join on user_id with the
-    time predicate as a filter — never a nested-loop per-key cross
-    product (the final 1x1x1 crossJoin of count rows is exempt)."""
+    time predicate as a filter — since the single-pass refactor there
+    is no one-row totals join left, so NO nested-loop join of any kind
+    may appear."""
     df = registry["funnel_conversion_events"].fn(spark, SF)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
     # joins on user_id appear as hash or sort-merge joins
     assert "Join" in plan
 

@@ -41,10 +41,6 @@ SF_DIR = "/root/testdata/sf0.001"
 
 # (query, flag) pairs that are understood and documented:
 ALLOW: set[tuple[str, str]] = {
-    # the funnel's final 1x1x1 cross of three one-row counter tables is
-    # two BNLJs over single rows — the approved broadcast-totals shape
-    # (tests/test_plans.py::test_funnel_no_cartesian exempts it too)
-    ("funnel_conversion_events", "bnlj_many"),
     # the one declared row-at-a-time surface: the Python UDTF API entry
     # exists to exercise exactly that crossing (VERDICT r4 notes it)
     ("udtf_chunk_documents", "rowudf"),
