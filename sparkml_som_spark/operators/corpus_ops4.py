@@ -497,3 +497,46 @@ def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("id_checksum"),
         )
     )
+
+
+@register(
+    "arrow_batch_charcount",
+    sql="""
+    SELECT doc_id % 10 AS bucket,
+           CAST(COUNT(*) AS BIGINT)          AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1
+    """,
+    desc="mapInArrow surface: zero-copy RecordBatch transform with pyarrow.compute, rollup under full oracle",
+)
+def arrow_batch_charcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lowest-overhead Python crossing Spark offers: `mapInArrow`
+    hands the worker raw Arrow RecordBatches (no pandas conversion at
+    all) and `pyarrow.compute` kernels run vectorized C++ over them —
+    the right tier for byte/char-level work where even the pandas_udf
+    pandas-object materialization is waste.  Counted chars per doc roll
+    up per id-bucket and must hash-match the JVM `length()` oracle, so
+    a batch dropped or a kernel disagreeing on UTF-8 semantics breaks
+    the gate."""
+    import pyarrow as pa
+
+    docs = load_table(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
+
+    def count_chars(batches):
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), pc.utf8_length(batch.column("text"))],
+                ["doc_id", "n_chars_arrow"],
+            )
+
+    counted = docs.mapInArrow(count_chars, "doc_id long, n_chars_arrow int")
+    return (
+        counted.groupBy((F.col("doc_id") % 10).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars_arrow").alias("total_chars"),
+        )
+    )
