@@ -92,3 +92,93 @@ def skew_salted_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
+
+
+@register(
+    "null_skew_split_join",
+    sql="""
+    SELECT COALESCE(c.c_mktsegment, 'unknown') AS segment,
+           CAST(COUNT(*) AS BIGINT)            AS n_events,
+           ROUND(SUM(e.value), 4)              AS sum_value
+    FROM (
+        SELECT CASE WHEN event_type = 'error' THEN NULL ELSE user_id END
+                   AS join_key,
+               value
+        FROM events
+    ) e
+    LEFT JOIN customer c ON e.join_key = c.c_custkey
+    GROUP BY 1
+    """,
+    desc="null-skew join split: null keys bypass the shuffle entirely, non-null side joins normally",
+)
+def null_skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical null-skew fix: in a left join, every NULL key rows
+    hashes to ONE partition and can never match anyway — at 100 TB a
+    10% null rate puts 10 TB on a single task.  Split first: null-key
+    rows take a metadata-only null-padded path (no shuffle at all),
+    non-null rows join normally; union the halves.  Results are
+    identical to the naive left join (the oracle runs the naive form).
+    Here event rows from 'error' events stand in for the nullable
+    foreign key."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("event_type") == "error", F.lit(None).cast("long"))
+        .otherwise(F.col("user_id"))
+        .alias("join_key"),
+        "value",
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("join_key"), "c_mktsegment"
+    )
+    nonnull = ev.where(F.col("join_key").isNotNull()).join(
+        cust, "join_key", "left"
+    )
+    nulls = ev.where(F.col("join_key").isNull()).withColumn(
+        "c_mktsegment", F.lit(None).cast("string")
+    )
+    return (
+        nonnull.select("c_mktsegment", "value")
+        .unionByName(nulls.select("c_mktsegment", "value"))
+        .groupBy(F.coalesce("c_mktsegment", F.lit("unknown")).alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "join_hint_shuffle_hash",
+    sql="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT)     AS n_items,
+           ROUND(SUM(l_quantity), 4)    AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY l_returnflag
+    """,
+    desc="SHUFFLE_HASH join hint: fact-fact join without per-partition sorts, plan-tested ShuffledHashJoin",
+)
+def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy steering: Spark defaults fact-fact equi-joins to
+    sort-merge, paying a full sort of BOTH sides per partition.  When
+    one side's per-partition build fits executor memory, a
+    SHUFFLE_HASH hint drops both sorts — at 100 TB that is the
+    difference between 2x sort spill and a streaming hash probe.  The
+    hint changes the physical strategy only; the oracle pins that the
+    answer is byte-identical to the unhinted form."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    return (
+        li.join(orders.hint("SHUFFLE_HASH"), li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+    )

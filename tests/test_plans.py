@@ -146,6 +146,26 @@ def test_funnel_no_cartesian(spark, registry):
     assert "Join" in plan
 
 
+def test_shuffle_hash_hint_takes_effect(spark, registry):
+    """The SHUFFLE_HASH hint must actually plan a ShuffledHashJoin —
+    silently falling back to sort-merge would void the no-sort claim."""
+    df = registry["join_hint_shuffle_hash"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "ShuffledHashJoin" in plan, plan
+
+
+def test_null_skew_split_nulls_avoid_shuffle(spark, registry):
+    """The null-key branch must not feed the join: exactly one join in
+    the plan, probing only the non-null filtered side."""
+    df = registry["null_skew_split_join"].fn(spark, SF)
+    plan = formatted_plan(df)
+    import re
+
+    joins = re.findall(r"\(\d+\) \w*Join", plan)
+    assert len(joins) == 1, plan
+    assert "Union" in plan, plan
+
+
 def test_dpp_prunes_partitions_at_runtime(spark, registry):
     """The status-partitioned fact scan must carry a runtime
     dynamicpruningexpression in its PartitionFilters — reading all
