@@ -161,6 +161,7 @@ def load_all() -> dict[str, QuerySpec]:
     order the registry so ``_PRIORITY`` entries come first."""
     import sparkml_som_spark.operators.aggregates  # noqa: F401
     import sparkml_som_spark.operators.analytics5  # noqa: F401
+    import sparkml_som_spark.operators.analytics6  # noqa: F401
     import sparkml_som_spark.operators.corpus_ops2  # noqa: F401
     import sparkml_som_spark.operators.corpus_ops3  # noqa: F401
     import sparkml_som_spark.operators.corpus_ops4  # noqa: F401
