@@ -527,12 +527,16 @@ def pmi_term_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.length("term") >= _PMI_MIN_LEN)
         .distinct()
+        .persist()  # reused 3x (ndocs, df, pair join); released below
     )
-    nd = toks.agg(F.countDistinct("doc_id").alias("ndocs"))
+    # ndocs is a bounded scalar (one number) — taking it as an action
+    # instead of a one-row broadcast keeps the reused band/toks subtrees
+    # from replicating a nested-loop join at every reuse site
+    ndocs = toks.agg(F.countDistinct("doc_id")).collect()[0][0]
     df = toks.groupBy("term").agg(F.count("*").alias("dfreq"))
-    band = df.crossJoin(F.broadcast(nd)).where(
-        (F.col("dfreq") * _PMI_DF_LO_MUL >= F.col("ndocs"))
-        & (F.col("dfreq") * _PMI_DF_HI_MUL <= F.col("ndocs") * _PMI_DF_HI_FRAC)
+    band = df.where(
+        (F.col("dfreq") * _PMI_DF_LO_MUL >= F.lit(ndocs))
+        & (F.col("dfreq") * _PMI_DF_HI_MUL <= F.lit(ndocs) * _PMI_DF_HI_FRAC)
     )
     w_cap = Window.partitionBy("doc_id").orderBy("term")
     capped = (
@@ -556,10 +560,11 @@ def pmi_term_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d1 = band.select(F.col("term").alias("t1"), F.col("dfreq").alias("df1"))
     d2 = band.select(F.col("term").alias("t2"), F.col("dfreq").alias("df2"))
-    return (
+    from sparkml_som_spark.operators.registry import materialize_small
+
+    out = (
         pairs.join(F.broadcast(d1), "t1")
         .join(F.broadcast(d2), "t2")
-        .crossJoin(F.broadcast(nd))
         .select(
             "t1",
             "t2",
@@ -567,13 +572,16 @@ def pmi_term_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "df1",
             "df2",
             (
-                F.col("n12") * F.col("ndocs") * F.lit(1.0)
+                F.col("n12") * F.lit(ndocs) * F.lit(1.0)
                 / (F.col("df1") * F.col("df2"))
             ).alias("pmi_ratio"),
         )
         .orderBy(F.desc("pmi_ratio"), "t1", "t2")
         .limit(_PMI_TOP)
     )
+    # top-N result is provably bounded; collecting it releases the
+    # persisted token table without leaking cache past the query
+    return materialize_small(out, cleanup=(toks,))
 
 
 # --------------------------------------------------------------------------
