@@ -521,3 +521,102 @@ def stream_incremental_dedup_index(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_unique"))
     )
+
+
+@register(
+    "stream_decayed_counters",
+    sql="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ), mx AS (
+        SELECT event_type, MAX(day) AS as_of_day FROM daily GROUP BY 1
+    )
+    SELECT d.event_type, mx.as_of_day,
+           CAST(SUM(d.n) AS BIGINT) AS n_total,
+           SUM(d.n * POWER(0.5, date_diff('day', d.day, mx.as_of_day)))
+               AS decayed_count
+    FROM daily d JOIN mx USING (event_type)
+    GROUP BY 1, 2
+    """,
+    desc="streaming decayed counters: per-batch algebraic merge of half-life counts across rate-limited micro-batches, exact vs the batch oracle",
+)
+def stream_decayed_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained decayed counters — the streaming twin
+    of `decayed_activity_counts`' feature-store signal, kept current
+    across micro-batches WITHOUT replaying history.
+
+    Exponential decay is linear, so the per-type state is three
+    numbers: (as_of_day, decayed, n_total), merged per batch by the
+    algebraic rule ``decayed' = decayed * 0.5^(new_as_of - as_of) +
+    sum(n_d * 0.5^(new_as_of - d))``.  Linearity makes the merge
+    independent of batch arrival ORDER — a batch of late (out-of-order)
+    days folds in with an exponent instead of forcing a recompute, the
+    property that makes this maintainable under retries and replays.
+    Every term is an exact dyadic rational (counts * 2^-j), so the
+    stream-maintained state equals the batch recompute BIT-FOR-BIT —
+    this entry runs under the full value-hash oracle, not a rows-only
+    check.
+
+    Scale shape: per-batch cost is one bounded (type, day) aggregate of
+    the BATCH plus an O(|types|) driver-side fold — state is bounded by
+    the group cardinality, the same contract as
+    `applyInPandasWithState`'s per-key state, but queryable and
+    restart-safe if persisted (the fingerprint-index entry shows that
+    persistence shape)."""
+    from pyspark.sql import functions as F
+
+    batch = load_table(spark, sf_dir, "events")
+    key = os.path.basename(os.path.normpath(sf_dir))
+    src = _SRC_CACHE.get(key)
+    if src is None:
+        src = os.path.join(_SCRATCH, key, "events_stream_src")
+        batch.write.mode("overwrite").parquet(src)
+        _SRC_CACHE[key] = src
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(src)
+    )
+    state: dict[str, tuple] = {}  # type -> (as_of_day, decayed, n_total)
+
+    def merge(batch_df, batch_id):
+        # aggregate INSIDE foreachBatch so the counts are THIS batch's
+        # increments — a streaming aggregate in update mode would hand
+        # us cumulative rows and double-count the merge
+        daily = batch_df.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        ).agg(F.count("*").alias("n"))
+        # bounded collect: |types| x |days-in-batch| rows
+        for r in sorted(
+            daily.collect(), key=lambda r: (r["event_type"], r["day"])
+        ):
+            et, day, n = r["event_type"], r["day"], r["n"]
+            if et not in state:
+                state[et] = (day, float(n), n)
+                continue
+            as_of, decayed, total = state[et]
+            if day > as_of:
+                decayed = decayed * 0.5 ** (day - as_of).days + n
+                as_of = day
+            else:
+                decayed += n * 0.5 ** (as_of - day).days
+            state[et] = (as_of, decayed, total + n)
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    rows = [
+        (et, as_of, total, decayed)
+        for et, (as_of, decayed, total) in sorted(state.items())
+    ]
+    return spark.createDataFrame(
+        rows, "event_type string, as_of_day date, n_total long, decayed_count double"
+    )
