@@ -101,6 +101,14 @@ def register(name: str, sql: str | None = None, desc: str = ""):
 # interval_join_click_after_signup -> retention_cohort_matrix,
 # dedup_embedding_cosine -> zorder_layout_events,
 # dedup_exact_groups -> mixture_resample_apply.
+# Round-5 second rotation: ten slots green BOTH r3+r4 (asof_join,
+# window_topk, udaf_geomean, tfidf_top_terms, udtf_chunk, decontam,
+# quality_repetition, doc_fingerprint, dedup_ngram_jaccard,
+# dedup_simhash — all still swept by the local gate) went to the
+# round-5 analytics wave so its strongest claims (exact-dyadic decay,
+# fixed-point PageRank, bitmap distinct, recursive-CTE-pinned greedy
+# packing, rank-composed equi-depth, streaming algebraic merge) get
+# driver verdicts in CORRECTNESS_r05.
 _PRIORITY: tuple[str, ...] = (
     "som_cluster_summary",
     "som_quantization_error",
@@ -109,9 +117,9 @@ _PRIORITY: tuple[str, ...] = (
     "ann_topk_bruteforce",
     "ann_ivf_som",
     "ann_lsh_hyperplane",
-    "asof_join_signup_attribution",
+    "decayed_activity_counts",
     "retention_cohort_matrix",
-    "window_topk_orders_per_customer",
+    "rolling_active_users",
     "window_analytic_suite",
     "dedup_connected_components",
     "funnel_conversion_events",
@@ -121,7 +129,7 @@ _PRIORITY: tuple[str, ...] = (
     "decimal_agg_lineitem",
     "corpus_mixture_weights",
     "variant_json_events",
-    "udaf_geomean_orders",
+    "pagerank_nation_flows",
     "media_feature_pipeline",
     "length_trim_quantile",
     "map_json_keys_events",
@@ -129,20 +137,20 @@ _PRIORITY: tuple[str, ...] = (
     "sessionize_lag_gaps",
     "upsert_scd2_orders",
     "grouped_map_ols_per_source",
-    "tfidf_top_terms",
+    "pmi_term_pairs",
     "text_token_stats",
     "text_quality_score",
     "text_langid_ngram",
-    "udtf_chunk_documents",
-    "decontam_ngram_overlap",
-    "quality_repetition",
-    "doc_fingerprint",
+    "pack_greedy_capacity",
+    "constraint_check_orders",
+    "bitmap_distinct_users",
+    "weighted_sample_docs",
     "text_som_topics",
     "pipeline_clean_corpus",
     "mixture_resample_apply",
-    "dedup_ngram_jaccard",
+    "histogram_equidepth_prices",
     "dedup_minhash_lsh",
-    "dedup_simhash",
+    "stream_decayed_counters",
     "zorder_layout_events",
     "dedup_incremental_exact",
     "negative_sampling_pairs",
