@@ -300,3 +300,181 @@ def delete_tombstone_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("t_user").alias("n_users_deleted"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# 5. mergeable-sketch rolling distinct (pre-aggregated HLL union)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sketch_merge_rolling_distinct",
+    sql=f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), spine AS (
+        SELECT DISTINCT day FROM ud
+    )
+    SELECT s.day,
+           CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS wau_exact,
+           TRUE AS est_within_5pct
+    FROM spine s
+    JOIN ud ON ud.day <= s.day AND ud.day >= s.day - {_ATTR_WINDOW_DAYS - 1}
+    GROUP BY s.day
+    """,
+    desc="mergeable-sketch rolling distinct: per-day HLL sketches unioned into trailing-7-day estimates, 5% guard vs the exact count",
+)
+def sketch_merge_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGEABILITY story behind sketches — the reason they matter
+    at 100 TB: build ONE HLL sketch per day (each day's data scanned
+    once, ever), then answer any trailing-window distinct question by
+    UNIONING the per-day sketches — no rescan, no re-shuffle of raw
+    rows.  `rolling_active_users` pays a x7 fan-out of the distinct
+    pairs per window; the sketch path unions 7 fixed-size sketch
+    buffers per anchor day, which is how a feature store serves
+    "distinct users, trailing N days" for any N from daily
+    pre-aggregates.
+
+    The estimate is engine-specific (DuckDB has no DataSketches HLL),
+    so the emitted contract is the guard pattern
+    `approx_distinct_users` established: the exact count plus a
+    boolean asserting the merged-sketch estimate landed within 5% —
+    the oracle replays the exact side and pins the guard TRUE."""
+    ev = load_table(spark, sf_dir, "events")
+    daily_sk = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    spine = daily_sk.select(F.col("day").alias("anchor"))
+    merged = (
+        daily_sk.join(
+            F.broadcast(spine),
+            (F.col("day") <= F.col("anchor"))
+            & (F.col("day") >= F.date_sub(F.col("anchor"), 6)),
+        )
+        .groupBy("anchor")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    exact = (
+        ud.join(
+            F.broadcast(spine),
+            (F.col("day") <= F.col("anchor"))
+            & (F.col("day") >= F.date_sub(F.col("anchor"), 6)),
+        )
+        .groupBy("anchor")
+        .agg(F.countDistinct("user_id").alias("wau_exact"))
+    )
+    return exact.join(merged, "anchor").select(
+        F.col("anchor").alias("day"),
+        "wau_exact",
+        (
+            F.abs(F.col("est") - F.col("wau_exact"))
+            <= F.lit(0.05) * F.col("wau_exact")
+        ).alias("est_within_5pct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 6. BFS reachability as frontier joins
+# --------------------------------------------------------------------------
+
+_BFS_SOURCE = 0  # start nation
+_BFS_HOPS = 3
+
+
+@register(
+    "reachability_3hop_nations",
+    sql=f"""
+    WITH e0 AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey  = c.c_custkey
+        JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+        GROUP BY 1, 2
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_e, CAST(SUM(w) AS BIGINT) AS tot
+        FROM e0
+    ), e AS (
+        SELECT src, dst FROM e0, stats
+        WHERE src <> dst AND 2 * w * n_e >= 3 * tot
+    ), h0 AS (
+        SELECT {_BFS_SOURCE} AS v
+    ), h1 AS (
+        SELECT DISTINCT e.dst AS v FROM e JOIN h0 ON e.src = h0.v
+        WHERE e.dst NOT IN (SELECT v FROM h0)
+    ), h2 AS (
+        SELECT DISTINCT e.dst AS v FROM e JOIN h1 ON e.src = h1.v
+        WHERE e.dst NOT IN (SELECT v FROM h0 UNION SELECT v FROM h1)
+    ), h3 AS (
+        SELECT DISTINCT e.dst AS v FROM e JOIN h2 ON e.src = h2.v
+        WHERE e.dst NOT IN (SELECT v FROM h0 UNION SELECT v FROM h1
+                            UNION SELECT v FROM h2)
+    ), reach AS (
+        SELECT v, 0 AS hop FROM h0
+        UNION ALL SELECT v, 1 FROM h1
+        UNION ALL SELECT v, 2 FROM h2
+        UNION ALL SELECT v, 3 FROM h3
+    )
+    SELECT n.n_nationkey, n.n_name, CAST(reach.hop AS BIGINT) AS hop
+    FROM reach JOIN nation n ON n.n_nationkey = reach.v
+    """,
+    desc="BFS reachability (3 hops, strong-edge subgraph) as frontier joins with visited-set anti-joins",
+)
+def reachability_3hop_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first reachability over the STRONG edges of the nation
+    trade graph (edges with weight >= 1.5x the mean, an exact integer
+    predicate so the subgraph is engine-identical): which nations are
+    reachable from nation {_BFS_SOURCE} in at most {_BFS_HOPS} hops,
+    and at which minimum hop count.
+
+    BFS distributes as frontier expansion: each hop is one equi-join
+    (frontier x edges) followed by an anti-join against the visited
+    set — the iterative-joins shape `dedup_connected_components` uses,
+    with hop labeling instead of label propagation.  All iteration
+    state here is vertex-bounded and broadcasts; the one corpus-scale
+    pass is the edge aggregation (shared shape with
+    `pagerank_nation_flows`)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    stats = e0.agg(F.count("*").alias("n_e"), F.sum("w").alias("tot")).collect()[0]
+    n_e, tot = stats["n_e"], stats["tot"]
+    edges = (
+        e0.where(
+            (F.col("src") != F.col("dst"))
+            & (2 * F.col("w") * F.lit(n_e) >= 3 * F.lit(tot))
+        )
+        .select("src", "dst")
+        .localCheckpoint(eager=True)  # bounded; reused every hop
+    )
+
+    visited = nation.sparkSession.createDataFrame(
+        [(_BFS_SOURCE, 0)], "v int, hop int"
+    )
+    frontier = visited.select("v")
+    for hop in range(1, _BFS_HOPS + 1):
+        nxt = (
+            edges.join(F.broadcast(frontier), edges.src == F.col("v"))
+            .select(F.col("dst").alias("v"))
+            .distinct()
+            .join(F.broadcast(visited.select("v")), "v", "left_anti")
+            .withColumn("hop", F.lit(hop))
+        )
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("v")
+    return visited.join(
+        F.broadcast(nation), visited.v == nation.n_nationkey
+    ).select("n_nationkey", "n_name", F.col("hop").cast("long").alias("hop"))

@@ -381,3 +381,53 @@ def source_binaryfile_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_files"),
         F.sum("length").alias("total_bytes"),
     )
+
+
+@register(
+    "source_multiformat_union",
+    sql="""
+    SELECT o_orderstatus,
+           CAST(3 * COUNT(*) AS BIGINT) AS n_rows,
+           CAST(3 * SUM(o_orderkey) AS BIGINT) AS key_checksum
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    desc="heterogeneous ingestion: the same table served as parquet+csv+json, schema-aligned and unioned into one logical scan",
+)
+def source_multiformat_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One logical table served from three physical formats — the
+    mixed-estate ingestion every migration lives with (old csv dumps +
+    json API exports + parquet lake).  The csv and json copies are
+    written once to scratch, read back through the generic ``read_any``
+    dispatch, schema-ALIGNED (explicit casts to the parquet schema —
+    csv/json inference must never silently widen a column), and
+    unioned by NAME, not position.  The aggregate over the union must
+    equal exactly 3x the base table — any inference drift, row loss,
+    or positional-union column swap breaks the checksum.
+
+    Scale shape: a union of scans is still one stage per leaf — Spark
+    plans format-specific scans under one union node and the aggregate
+    map-side combines across all of them; no format pays for another's
+    decode."""
+    base = load_table(spark, sf_dir, "orders")
+    csv_path = _scratch(sf_dir, "orders_multifmt_csv")
+    json_path = _scratch(sf_dir, "orders_multifmt_json")
+    if not os.path.isdir(csv_path):
+        write_any(base, csv_path, "csv")
+    if not os.path.isdir(json_path):
+        write_any(base, json_path, "json")
+    parts = [base]
+    for path, fmt in ((csv_path, "csv"), (json_path, "json")):
+        raw = read_any(spark, path, fmt)
+        parts.append(
+            raw.select(
+                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in base.schema]
+            )
+        )
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    return unioned.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("o_orderkey").alias("key_checksum"),
+    )

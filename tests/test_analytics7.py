@@ -135,3 +135,70 @@ def test_stream_decayed_equals_batch_recompute(spark):
         assert r["as_of_day"] == as_of
         assert r["n_total"] == sum(days.values())
         assert r["decayed_count"] == decayed  # EXACT equality
+
+
+def test_sketch_merge_guard_and_exact(spark):
+    """wau_exact must equal the direct set-union replay (same as
+    rolling_active_users) and every merged-sketch estimate must be
+    inside the 5% contract."""
+    rows = {r["day"]: r for r in
+            _registry()["sketch_merge_rolling_distinct"].fn(spark, SF).collect()}
+    ev = load_table(spark, SF, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct().collect()
+    by_day = {}
+    for r in ev:
+        by_day.setdefault(r["day"], set()).add(r["user_id"])
+    for day, r in rows.items():
+        union = set()
+        for j in range(7):
+            union |= by_day.get(day - datetime.timedelta(days=j), set())
+        assert r["wau_exact"] == len(union)
+        assert r["est_within_5pct"] is True
+
+
+def test_reachability_hops_are_shortest(spark):
+    """Replay BFS in Python over the same strong-edge subgraph — hop
+    labels must be exact shortest-path distances, capped at 3."""
+    out = {r["n_nationkey"]: r["hop"] for r in
+           _registry()["reachability_3hop_nations"].fn(spark, SF).collect()}
+    li = load_table(spark, SF, "lineitem")
+    o = load_table(spark, SF, "orders")
+    c = load_table(spark, SF, "customer")
+    s = load_table(spark, SF, "supplier")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .agg(F.count("*").alias("w"))
+        .collect()
+    )
+    n_e = len(edges)
+    tot = sum(e["w"] for e in edges)
+    strong = [(e["src"], e["dst"]) for e in edges
+              if e["src"] != e["dst"] and 2 * e["w"] * n_e >= 3 * tot]
+    dist = {0: 0}
+    frontier = {0}
+    for hop in (1, 2, 3):
+        nxt = {d for sr, d in strong if sr in frontier and d not in dist}
+        for v in nxt:
+            dist[v] = hop
+        frontier = nxt
+    assert out == dist
+
+
+def test_multiformat_union_triples_base(spark):
+    """The union aggregate must be exactly 3x the parquet base per
+    status — csv/json round-trip loses nothing and widens nothing."""
+    rows = {r["o_orderstatus"]: r for r in
+            _registry()["source_multiformat_union"].fn(spark, SF).collect()}
+    base = {r["o_orderstatus"]: r for r in
+            load_table(spark, SF, "orders")
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"), F.sum("o_orderkey").alias("ck"))
+            .collect()}
+    assert set(rows) == set(base)
+    for st, r in rows.items():
+        assert r["n_rows"] == 3 * base[st]["n"]
+        assert r["key_checksum"] == 3 * base[st]["ck"]
