@@ -39,6 +39,16 @@ QUERIES = [
     "curriculum_phases",           # quality rank -> phase rollup
     "mixture_resample_apply",      # broadcast weights + hash fan-out
     "anomaly_zscore_daily",        # bounded-table window
+    "decayed_activity_counts",     # bounded-first decay join (dyadic-exact)
+    "pagerank_nation_flows",       # edge agg + 3 broadcast-rank iterations
+    "pmi_term_pairs",              # df-banded capped pair self-join
+    "bitmap_distinct_users",       # 32-wide bit_or pack before shuffle
+    "rolling_active_users",        # distinct-pair x7 fan-out
+    "histogram_equidepth_prices",  # two-phase rank -> bounded buckets
+    "pack_greedy_capacity",        # applyInPandas sequential fold per stratum
+    "feature_scale_lineitem",      # one-row stats broadcast onto scan
+    "attribution_multi_touch",     # user-keyed interval join + pid window
+    "sketch_merge_rolling_distinct",  # per-day HLL sketches unioned per anchor
 ]
 
 
