@@ -109,12 +109,19 @@ def register(name: str, sql: str | None = None, desc: str = ""):
 # fixed-point PageRank, bitmap distinct, recursive-CTE-pinned greedy
 # packing, rank-composed equi-depth, streaming algebraic merge) get
 # driver verdicts in CORRECTNESS_r05.
+# Round-5 third rotation: four slots green both r3+r4
+# (ann_topk_bruteforce, stats_agg_lineitem, dedup_minhash_lsh,
+# dedup_incremental_exact — all still swept by the local gate; ANN
+# stays driver-covered via the upgraded recall-guard entries
+# ann_ivf_som / ann_lsh_hyperplane) went to the sixth-wave analytics
+# operators: triangle_count_copurchase, countmin_heavy_hitters,
+# basket_lift_brand_pairs, ohlc_daily_event_value.
 _PRIORITY: tuple[str, ...] = (
     "som_cluster_summary",
     "som_quantization_error",
     "som_count_invariant",
     "som_transform_integrity",
-    "ann_topk_bruteforce",
+    "triangle_count_copurchase",
     "ann_ivf_som",
     "ann_lsh_hyperplane",
     "decayed_activity_counts",
@@ -125,7 +132,7 @@ _PRIORITY: tuple[str, ...] = (
     "funnel_conversion_events",
     "pipeline_training_manifest",
     "shard_assignment_balanced",
-    "stats_agg_lineitem",
+    "countmin_heavy_hitters",
     "decimal_agg_lineitem",
     "corpus_mixture_weights",
     "variant_json_events",
@@ -149,10 +156,10 @@ _PRIORITY: tuple[str, ...] = (
     "pipeline_clean_corpus",
     "mixture_resample_apply",
     "histogram_equidepth_prices",
-    "dedup_minhash_lsh",
+    "basket_lift_brand_pairs",
     "stream_decayed_counters",
     "zorder_layout_events",
-    "dedup_incremental_exact",
+    "ohlc_daily_event_value",
     "negative_sampling_pairs",
     "stream_tumbling_window",
     "stream_interval_join",
