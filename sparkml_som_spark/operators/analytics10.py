@@ -331,6 +331,36 @@ _MAT_K = 10
 _MAT_PREFIX = 16
 
 
+def _dual_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, nid, rf, rp): each corpus vector's rank for each of
+    the `_MAT_QUERIES` queries under the full-dimension cosine (rf)
+    and the `_MAT_PREFIX`-dim prefix cosine (rp), ties broken by nid.
+    One corpus stream against broadcast queries; shared by the
+    matryoshka recall audit and the prefix-MRR audit."""
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.where(F.col("vec_id") < _MAT_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = emb.join(F.broadcast(q), emb.vec_id != q.query_id).select(
+        "query_id",
+        F.col("vec_id").alias("nid"),
+        cosine(F.col("qv"), F.col("v")).alias("cos_full"),
+        cosine(
+            F.slice(F.col("qv"), 1, _MAT_PREFIX), F.slice(F.col("v"), 1, _MAT_PREFIX)
+        ).alias("cos_pre"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("cos_full"), F.asc("nid"))
+    wp = Window.partitionBy("query_id").orderBy(F.desc("cos_pre"), F.asc("nid"))
+    return scored.select(
+        "query_id",
+        "nid",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wp).alias("rp"),
+    )
+
+
 @register(
     "ann_matryoshka_prefix",
     sql=f"""
@@ -377,28 +407,7 @@ def ann_matryoshka_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     quarter of the vector bytes, which at 100 TB is the point.  The
     audit join touches only the two q*k top-k sets.
     """
-    emb = load_table(spark, sf_dir, "embeddings", spread=True).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    q = emb.where(F.col("vec_id") < _MAT_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    scored = emb.join(F.broadcast(q), emb.vec_id != q.query_id).select(
-        "query_id",
-        F.col("vec_id").alias("nid"),
-        cosine(F.col("qv"), F.col("v")).alias("cos_full"),
-        cosine(
-            F.slice(F.col("qv"), 1, _MAT_PREFIX), F.slice(F.col("v"), 1, _MAT_PREFIX)
-        ).alias("cos_pre"),
-    )
-    wf = Window.partitionBy("query_id").orderBy(F.desc("cos_full"), F.asc("nid"))
-    wp = Window.partitionBy("query_id").orderBy(F.desc("cos_pre"), F.asc("nid"))
-    ranked = scored.select(
-        "query_id",
-        "nid",
-        F.row_number().over(wf).alias("rf"),
-        F.row_number().over(wp).alias("rp"),
-    )
+    ranked = _dual_rankings(spark, sf_dir)
     full_k = ranked.where(F.col("rf") <= _MAT_K).select("query_id", "nid")
     pre_k = ranked.where(F.col("rp") <= _MAT_K).select(
         F.col("query_id").alias("p_query_id"), F.col("nid").alias("pid")
