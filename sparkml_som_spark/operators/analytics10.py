@@ -22,10 +22,11 @@ Scale discipline, per operator:
   row-level data ONLY inside differing buckets (broadcast bucket
   list), the merkle-tree shape that diffs 100 TB snapshots without
   a full-corpus join;
-- matryoshka ANN scores the corpus once per ranking with broadcast
-  queries; the prefix ranking reads 16 of 64 dims (the cheap first
-  pass a tiered retrieval system would run), and the audit joins two
-  top-k sets of q*k rows each — bounded.
+- matryoshka ANN scores the corpus once against broadcast queries;
+  the prefix ranking reads 16 of 64 dims (the cheap first pass a
+  tiered retrieval system would run), and because both ranks land on
+  the same row the top-k recall audit is a conditional count — no
+  audit join.
 """
 
 from __future__ import annotations
@@ -135,17 +136,23 @@ def bloom_semijoin_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("k")
     )
     truth = cust.join(bk, cust.c_custkey == bk.k).select(cust.c_custkey.alias("k"))
-    n_cust = cust.agg(F.count(F.lit(1)).alias("n_customers"))
-    n_truth = truth.agg(F.count(F.lit(1)).alias("n_true_members"))
-    n_pass = passed.agg(F.count(F.lit(1)).alias("n_bloom_pass"))
-    n_both = (
-        truth.join(passed, "k")
-        .agg(F.count(F.lit(1)).alias("n_true_passing"))
+    # one full-outer join of the two small key sets feeds EVERY audit
+    # count from a single aggregate; only the customer total needs the
+    # (single) one-row cross join
+    audit = (
+        truth.select(F.col("k").alias("tk"))
+        .join(passed.select(F.col("k").alias("pk")), F.col("tk") == F.col("pk"), "full")
+        .agg(
+            F.count("tk").alias("n_true_members"),
+            F.count("pk").alias("n_bloom_pass"),
+            F.count(F.when(F.col("tk").isNotNull() & F.col("pk").isNotNull(), 1)).alias(
+                "n_true_passing"
+            ),
+        )
     )
+    n_cust = cust.agg(F.count(F.lit(1)).alias("n_customers"))
     return (
-        n_cust.crossJoin(n_truth)
-        .crossJoin(n_pass)
-        .crossJoin(n_both)
+        n_cust.crossJoin(audit)
         .select(
             "n_customers",
             "n_true_members",
@@ -366,33 +373,30 @@ def _dual_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=f"""
     WITH q AS (
         SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_MAT_QUERIES}
-    ), full_r AS (
+    ), dr AS (
         SELECT q.vec_id AS query_id, e.vec_id AS nid,
                ROW_NUMBER() OVER (
                    PARTITION BY q.vec_id
                    ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
                             e.vec_id
-               ) AS r
-        FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
-    ), pre_r AS (
-        SELECT q.vec_id AS query_id, e.vec_id AS nid,
+               ) AS rf,
                ROW_NUMBER() OVER (
                    PARTITION BY q.vec_id
                    ORDER BY list_cosine_similarity(
                                 (q.embedding::DOUBLE[])[1:{_MAT_PREFIX}],
                                 (e.embedding::DOUBLE[])[1:{_MAT_PREFIX}]) DESC,
                             e.vec_id
-               ) AS r
+               ) AS rp
         FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
     )
-    SELECT f.query_id,
-           CAST({_MAT_K} AS BIGINT)                          AS k,
-           CAST(COUNT(p.nid) AS BIGINT)                      AS n_common,
-           ROUND(COUNT(p.nid)::DOUBLE / {_MAT_K}, 4)         AS recall_at_k
-    FROM (SELECT * FROM full_r WHERE r <= {_MAT_K}) f
-    LEFT JOIN (SELECT * FROM pre_r WHERE r <= {_MAT_K}) p
-           ON p.query_id = f.query_id AND p.nid = f.nid
-    GROUP BY f.query_id
+    SELECT query_id,
+           CAST({_MAT_K} AS BIGINT)  AS k,
+           CAST(COUNT(*) FILTER (WHERE rf <= {_MAT_K} AND rp <= {_MAT_K}) AS BIGINT)
+                                     AS n_common,
+           ROUND(COUNT(*) FILTER (WHERE rf <= {_MAT_K} AND rp <= {_MAT_K})::DOUBLE
+                 / {_MAT_K}, 4)      AS recall_at_k
+    FROM dr
+    GROUP BY query_id
     """,
     desc=f"matryoshka retrieval: {_MAT_PREFIX}-of-64-dim prefix ranking audited against full-dim exact top-{_MAT_K} recall",
 )
@@ -404,24 +408,16 @@ def ann_matryoshka_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Both rankings stream the corpus once against broadcast queries
     (same shape as `ann_topk_bruteforce`); the prefix pass reads a
-    quarter of the vector bytes, which at 100 TB is the point.  The
-    audit join touches only the two q*k top-k sets.
+    quarter of the vector bytes, which at 100 TB is the point.  Both
+    ranks land on the same row, so the top-k intersection is a plain
+    conditional count — no audit join at all.
     """
+    # both ranks live on the same row, so the intersection size is a
+    # plain conditional count — no top-k self-join needed at all
     ranked = _dual_rankings(spark, sf_dir)
-    full_k = ranked.where(F.col("rf") <= _MAT_K).select("query_id", "nid")
-    pre_k = ranked.where(F.col("rp") <= _MAT_K).select(
-        F.col("query_id").alias("p_query_id"), F.col("nid").alias("pid")
-    )
-    return (
-        full_k.join(
-            pre_k,
-            (full_k.query_id == pre_k.p_query_id) & (full_k.nid == pre_k.pid),
-            "left",
-        )
-        .groupBy("query_id")
-        .agg(
-            F.lit(_MAT_K).cast("long").alias("k"),
-            F.count("pid").alias("n_common"),
-            F.round(F.count("pid") / F.lit(_MAT_K), 4).alias("recall_at_k"),
-        )
+    common = F.count(F.when((F.col("rf") <= _MAT_K) & (F.col("rp") <= _MAT_K), 1))
+    return ranked.groupBy("query_id").agg(
+        F.lit(_MAT_K).cast("long").alias("k"),
+        common.alias("n_common"),
+        F.round(common / F.lit(_MAT_K), 4).alias("recall_at_k"),
     )

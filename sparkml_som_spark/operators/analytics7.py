@@ -345,22 +345,23 @@ def sketch_merge_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame
         F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
     )
     spine = daily_sk.select(F.col("day").alias("anchor"))
+    # each day contributes to exactly the 7 anchors [day, day+6]: a
+    # constant fan-out + EQUI-join on the anchor (no non-equi range
+    # join in the plan); anchors past the observed range are dropped
+    # by the equi semi-filter against the bounded spine
+    fan = F.explode(
+        F.sequence(F.col("day"), F.date_add(F.col("day"), _ATTR_WINDOW_DAYS - 1))
+    ).alias("anchor")
     merged = (
-        daily_sk.join(
-            F.broadcast(spine),
-            (F.col("day") <= F.col("anchor"))
-            & (F.col("day") >= F.date_sub(F.col("anchor"), 6)),
-        )
+        daily_sk.select("sk", fan)
+        .join(F.broadcast(spine), "anchor", "left_semi")
         .groupBy("anchor")
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
     )
     ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
     exact = (
-        ud.join(
-            F.broadcast(spine),
-            (F.col("day") <= F.col("anchor"))
-            & (F.col("day") >= F.date_sub(F.col("anchor"), 6)),
-        )
+        ud.select("user_id", fan)
+        .join(F.broadcast(spine), "anchor", "left_semi")
         .groupBy("anchor")
         .agg(F.countDistinct("user_id").alias("wau_exact"))
     )

@@ -182,6 +182,7 @@ def load_all() -> dict[str, QuerySpec]:
     import sparkml_som_spark.operators.analytics9  # noqa: F401
     import sparkml_som_spark.operators.analytics10  # noqa: F401
     import sparkml_som_spark.operators.analytics11  # noqa: F401
+    import sparkml_som_spark.operators.analytics12  # noqa: F401
     import sparkml_som_spark.operators.corpus_ops2  # noqa: F401
     import sparkml_som_spark.operators.corpus_ops3  # noqa: F401
     import sparkml_som_spark.operators.corpus_ops4  # noqa: F401

@@ -49,6 +49,14 @@ QUERIES = [
     "feature_scale_lineitem",      # one-row stats broadcast onto scan
     "attribution_multi_touch",     # user-keyed interval join + pid window
     "sketch_merge_rolling_distinct",  # per-day HLL sketches unioned per anchor
+    "triangle_count_copurchase",   # degree-oriented wedge join
+    "basket_lift_brand_pairs",     # order-keyed pair self-join + broadcasts
+    "countmin_heavy_hitters",      # mergeable sketch cells + broadcast back
+    "bloom_semijoin_customers",    # bounded bit-set broadcast probe
+    "table_diff_reconcile",        # bucket digests + differing-bucket drill
+    "ann_matryoshka_prefix",       # single-pass dual ranking vs broadcast queries
+    "interval_coverage_users",     # per-user running-max-end prefix merge
+    "drift_tv_distance",           # bounded histogram + broadcast totals
 ]
 
 
