@@ -115,7 +115,9 @@ def register(name: str, sql: str | None = None, desc: str = ""):
 # stays driver-covered via the upgraded recall-guard entries
 # ann_ivf_som / ann_lsh_hyperplane) went to the sixth-wave analytics
 # operators: triangle_count_copurchase, countmin_heavy_hitters,
-# basket_lift_brand_pairs, ohlc_daily_event_value.
+# basket_lift_brand_pairs, ohlc_daily_event_value; plus
+# pipeline_clean_corpus (green r3+r4) -> rag_context_pack so the
+# flagship retrieval-plus-packing composition gets a driver verdict.
 _PRIORITY: tuple[str, ...] = (
     "som_cluster_summary",
     "som_quantization_error",
@@ -153,7 +155,7 @@ _PRIORITY: tuple[str, ...] = (
     "bitmap_distinct_users",
     "weighted_sample_docs",
     "text_som_topics",
-    "pipeline_clean_corpus",
+    "rag_context_pack",
     "mixture_resample_apply",
     "histogram_equidepth_prices",
     "basket_lift_brand_pairs",
