@@ -192,3 +192,60 @@ def test_funnel_cohort_no_cartesian(spark, registry):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_triangle_prunes_part_dim_and_broadcasts(spark, registry):
+    """The p_size node filter must ride a broadcast part-dimension join
+    (pruning BEFORE the pair self-join), and the wedge pipeline must be
+    all-equi: no cartesian, no nested loop."""
+    df = registry["triangle_count_copurchase"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_basket_lift_broadcasts_decorations(spark, registry):
+    """The pair self-join shuffles on the order key only; the singles
+    table and one-row total decorate via broadcast."""
+    df = registry["basket_lift_brand_pairs"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_chunk_planner_no_exchange_no_python(spark, registry):
+    """The closed-form chunk plan is a pure per-row map: no shuffle at
+    all and no Python in the plan."""
+    df = registry["chunk_overlap_plan"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert count_exchanges(df) == 0, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_bloom_probe_joins_broadcast_bits(spark, registry):
+    """The probe side must join the bit set as a broadcast (the whole
+    point: fixed-size filter instead of a shuffle against the build
+    table); exactly one nested-loop join (the one-row total)."""
+    import re
+
+    df = registry["bloom_semijoin_customers"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    bnlj = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, flags=re.MULTILINE)
+    assert len(bnlj) <= 1, plan
+
+
+def test_reconcile_drill_join_only_on_diff_buckets(spark, registry):
+    """Bucket digests aggregate map-side; the row-level drill joins
+    must be equi (no cartesian/nested-loop anywhere)."""
+    df = registry["table_diff_reconcile"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_vocab_coverage_take_ordered_no_global_window(spark, registry):
+    """Vocabulary selection must plan TakeOrderedAndProject (bounded
+    per-partition top-k), not a single-partition global window."""
+    df = registry["tokenizer_vocab_coverage"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
