@@ -57,6 +57,12 @@ QUERIES = [
     "ann_matryoshka_prefix",       # single-pass dual ranking vs broadcast queries
     "interval_coverage_users",     # per-user running-max-end prefix merge
     "drift_tv_distance",           # bounded histogram + broadcast totals
+    "rag_context_pack",            # ANN + budget pack composition
+    "dedup_canonical_pick",        # cluster + quality argmax composition
+    "split_train_val_test",        # codegen md5 bands + bounded audit
+    "session_bounce_rollup",       # per-user session windows + day rollup
+    "kanon_quasi_identifier_audit",  # one-aggregate privacy audit
+    "join_key_skew_audit",         # key-frequency agg + TakeOrdered
 ]
 
 
