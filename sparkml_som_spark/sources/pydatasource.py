@@ -112,3 +112,77 @@ class SynthDocsStreamReader(DataSourceStreamReader):
 class RangePartition(InputPartition):
     def __init__(self, lo, hi):
         self.lo, self.hi = lo, hi
+
+
+# ---------------------------------------------------------------------------
+# Writer half of the custom-source surface (Spark 4 DataSourceWriter):
+# the API a user implements to WRITE a bespoke format.  Each task
+# serializes its partition to a private jsonl file and returns the
+# path in its commit message; only paths the driver receives in
+# commit() enter the manifest, so an abandoned task attempt's file is
+# never read back — the write side of the exactly-once contract,
+# demonstrated end-to-end (write -> manifest -> manifest-driven read)
+# under the value-hash oracle.
+# ---------------------------------------------------------------------------
+
+import json as _json
+import os as _os
+import uuid as _uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+@dataclass
+class JsonlCommit(WriterCommitMessage):
+    path: str
+    n_rows: int
+
+
+class JsonlSinkDataSource(DataSource):
+    """``df.write.format("jsonlsink").option("path", dir).save()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonlsink"
+
+    def writer(self, schema, overwrite: bool) -> "JsonlSinkWriter":
+        return JsonlSinkWriter(self.options, schema)
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    def __init__(self, options, schema):
+        self.path = options["path"]
+        self.fields = [f.name for f in schema.fields]
+
+    def write(self, iterator) -> JsonlCommit:
+        _os.makedirs(self.path, exist_ok=True)
+        # private per-attempt file: a retried task writes a NEW uuid,
+        # and only the attempt whose message reaches commit() is
+        # manifest-listed
+        path = _os.path.join(self.path, f"part-{_uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(path, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(dict(zip(self.fields, row))) + "\n")
+                n += 1
+        return JsonlCommit(path=path, n_rows=n)
+
+    def commit(self, messages) -> None:
+        manifest = {
+            "files": sorted(m.path for m in messages),
+            "n_rows": sum(m.n_rows for m in messages),
+        }
+        with open(_os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            _json.dump(manifest, f)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            try:
+                _os.remove(m.path)
+            except OSError:
+                pass
+
+
+def ensure_sink_registered(spark) -> None:
+    spark.dataSource.register(JsonlSinkDataSource)
