@@ -186,3 +186,66 @@ class JsonlSinkWriter(DataSourceWriter):
 
 def ensure_sink_registered(spark) -> None:
     spark.dataSource.register(JsonlSinkDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Streaming writer half (Spark 4 DataSourceStreamWriter): the sink a
+# user implements to stream into a bespoke system.  Same task-commit
+# protocol as the batch writer, but commit() runs once per micro-batch
+# with the batchId — the per-batch manifest is what makes replayed
+# batches idempotent (a re-run batch REPLACES its manifest instead of
+# appending twice).
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import DataSourceStreamWriter
+
+
+class JsonlStreamSinkDataSource(DataSource):
+    """``df.writeStream.format("jsonlstreamsink").option("path", dir)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonlstreamsink"
+
+    def streamWriter(self, schema, overwrite: bool) -> "JsonlStreamWriter":
+        return JsonlStreamWriter(self.options, schema)
+
+
+class JsonlStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options, schema):
+        self.path = options["path"]
+        self.fields = [f.name for f in schema.fields]
+
+    def write(self, iterator) -> JsonlCommit:
+        _os.makedirs(self.path, exist_ok=True)
+        path = _os.path.join(self.path, f"part-{_uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(path, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(dict(zip(self.fields, row))) + "\n")
+                n += 1
+        return JsonlCommit(path=path, n_rows=n)
+
+    def commit(self, messages, batchId: int) -> None:
+        manifest = {
+            "batch_id": batchId,
+            "files": sorted(m.path for m in messages if m is not None),
+            "n_rows": sum(m.n_rows for m in messages if m is not None),
+        }
+        # one manifest PER BATCH, keyed by batchId: a replayed batch
+        # overwrites its own manifest -> exactly-once read-back
+        with open(_os.path.join(self.path, f"_MANIFEST-{batchId}.json"), "w") as f:
+            _json.dump(manifest, f)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                _os.remove(m.path)
+            except OSError:
+                pass
+
+
+def ensure_stream_sink_registered(spark) -> None:
+    spark.dataSource.register(JsonlStreamSinkDataSource)
