@@ -30,3 +30,44 @@ class ChunkText:
 
 def register_udtfs(spark) -> None:
     spark.udtf.register("chunk_text", ChunkText)
+
+
+# ---------------------------------------------------------------------------
+# Polymorphic UDTF (Spark 4 `analyze` API): output schema and argument
+# validation run at PLAN time via the static analyze() hook — the
+# mechanism behind polymorphic table functions (schema depending on
+# constant arguments), here used to reject a non-constant / invalid n
+# before any executor starts.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType  # noqa: E402
+from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult  # noqa: E402
+
+
+class NGrams:
+    """``sgs_ngrams(text, n)`` -> (pos, gram) rows of consecutive
+    n-token windows over the lowercased whitespace tokenization."""
+
+    @staticmethod
+    def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+        if not n.isConstantExpression or n.value is None or int(n.value) < 1:
+            raise ValueError("sgs_ngrams: n must be a positive constant")
+        return AnalyzeResult(
+            StructType(
+                [
+                    StructField("pos", IntegerType()),
+                    StructField("gram", StringType()),
+                ]
+            )
+        )
+
+    def eval(self, text: str, n: int):
+        if text is None:
+            return
+        toks = text.lower().split(" ")
+        for i in range(len(toks) - n + 1):
+            yield (i, " ".join(toks[i : i + n]))
+
+
+def register_ngrams_udtf(spark) -> None:
+    spark.udtf.register("sgs_ngrams", udtf(NGrams))
