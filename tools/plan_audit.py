@@ -41,9 +41,11 @@ SF_DIR = "/root/testdata/sf0.001"
 
 # (query, flag) pairs that are understood and documented:
 ALLOW: set[tuple[str, str]] = {
-    # the one declared row-at-a-time surface: the Python UDTF API entry
-    # exists to exercise exactly that crossing (VERDICT r4 notes it)
+    # the declared row-at-a-time surfaces: the Python UDTF API entries
+    # exist to exercise exactly that crossing (VERDICT r4 notes the
+    # chunker; the ngram entry adds the Spark 4 `analyze` hook)
     ("udtf_chunk_documents", "rowudf"),
+    ("udtf_ngram_counts", "rowudf"),
 }
 
 
