@@ -1,0 +1,60 @@
+"""analytics21 mechanics: timezone conversion replay with zoneinfo
+and segment-cube conservation."""
+
+from zoneinfo import ZoneInfo
+
+from pyspark.sql import functions as F
+
+from sparkml_som_spark.operators.registry import load_all
+from sparkml_som_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _registry():
+    return load_all()
+
+
+def test_tz_rollup_zoneinfo_replay(spark):
+    """Local-day assignment must match Python's zoneinfo conversion
+    for every event, and totals must conserve the corpus."""
+    from sparkml_som_spark.operators.analytics21 import _TZ
+
+    reg = _registry()
+    got = {
+        (r["local_day"], r["event_type"]): r["n_events"]
+        for r in reg["tz_local_day_rollup"].fn(spark, SF).collect()
+    }
+    tz = ZoneInfo(_TZ)
+    utc = ZoneInfo("UTC")
+    want = {}
+    for r in load_table(spark, SF, "events").select("ts", "event_type").collect():
+        local_day = r["ts"].replace(tzinfo=utc).astimezone(tz).date()
+        k = (local_day, r["event_type"])
+        want[k] = want.get(k, 0) + 1
+    assert got == want
+
+
+def test_segment_cube_conservation(spark):
+    """Segment user counts partition the distinct in-window users, and
+    segment names follow the flag logic."""
+    reg = _registry()
+    rows = reg["segment_algebra_users"].fn(spark, SF).collect()
+    assert len(rows) >= 2, "expected a diverse cube at fixture scale"
+    n_users = (
+        load_table(spark, SF, "events")
+        .where(F.col("ts") < "2024-01-04")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_users"] for r in rows) == n_users
+    for r in rows:
+        if r["did_purchase"] and not r["did_error"]:
+            assert r["segment"] == "converted_clean"
+        elif r["did_purchase"]:
+            assert r["segment"] == "converted_rocky"
+        elif r["did_click"]:
+            assert r["segment"] == "engaged_only"
+        else:
+            assert r["segment"] == "dormant"
