@@ -249,3 +249,39 @@ def test_vocab_coverage_take_ordered_no_global_window(spark, registry):
     df = registry["tokenizer_vocab_coverage"].fn(spark, SF)
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_kanon_audit_no_join_no_window(spark, registry):
+    """The privacy audit is two chained aggregates over one scan —
+    no join, no window anywhere."""
+    df = registry["kanon_quasi_identifier_audit"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_segment_algebra_pure_aggregates(spark, registry):
+    """Segmentation is per-user reduction + bounded cube — no joins,
+    no event-set intersections in the plan."""
+    df = registry["segment_algebra_users"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert assert_pushed_filters(df), plan
+
+
+def test_tz_rollup_single_keyed_exchange_no_python(spark, registry):
+    """The timezone conversion is per-row codegen: one keyed exchange
+    (the aggregate), nothing Python."""
+    df = registry["tz_local_day_rollup"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan, plan
+    assert count_exchanges(df) <= 2, plan
+
+
+def test_share_of_parent_all_dims_broadcast(spark, registry):
+    """Every dimension hop rides a broadcast join; no sort-merge join
+    on the corpus path."""
+    df = registry["share_of_parent_revenue"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
