@@ -106,3 +106,76 @@ def segment_algebra_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(segment).alias("segment"),
         F.count(F.lit(1)).alias("n_users"),
     ).select("did_click", "did_purchase", "did_error", "segment", "n_users")
+
+
+# --------------------------------------------------------------------------
+# 3. exact-dyadic exponential smoothing (EWMA level forecast)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ewma_forecast_daily",
+    sql="""
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ), o AS (
+        SELECT event_type, day, n,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS r
+        FROM d
+    ), lvl AS (
+        WITH RECURSIVE s(event_type, r, level) AS (
+            SELECT event_type, r, n::DOUBLE FROM o WHERE r = 1
+            UNION ALL
+            SELECT o.event_type, o.r, (o.n + s.level) / 2
+            FROM s JOIN o ON o.event_type = s.event_type AND o.r = s.r + 1
+        )
+        SELECT event_type, MAX(r) AS n_days,
+               MAX(CASE WHEN r = (SELECT MAX(r2.r) FROM s r2
+                                  WHERE r2.event_type = s.event_type)
+                        THEN level END) AS level
+        FROM s GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_days AS BIGINT) AS n_days,
+           level                   AS forecast_next_day
+    FROM lvl
+    """,
+    desc="exponential smoothing (alpha=1/2, exact dyadic) over the bounded daily table; recursive-CTE oracle, bit-equal fold",
+)
+def ewma_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-smoothed forecast of tomorrow's event count per
+    type: level_t = (y_t + level_{t-1}) / 2 over the daily counts.
+    Alpha = 1/2 keeps every term an exact dyadic rational, so the
+    sequentially-folded level is BIT-EQUAL across engines with no
+    rounding quarantine — the decayed-counter trick applied to a
+    recursive (not window-expressible) computation.
+
+    The corpus reduces once to the bounded (type, day) count table;
+    the fold runs per type over that bounded table via applyInPandas
+    (one group per type — the `pack_greedy_capacity` shape); the
+    DuckDB oracle replays the identical fold as a recursive CTE.
+    """
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        level = None
+        for n in pdf["n"]:
+            level = float(n) if level is None else (float(n) + level) / 2.0
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_days": [len(pdf)],
+                "forecast_next_day": [level],
+            }
+        )
+
+    return d.groupBy("event_type").applyInPandas(
+        fold, "event_type string, n_days bigint, forecast_next_day double"
+    )

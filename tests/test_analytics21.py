@@ -74,3 +74,24 @@ def test_som_grid_search_invariants(spark):
     winners = [r for r in rows if r["is_best"]]
     assert all(r["quant_error"] == best for r in winners)
     assert len(winners) >= 1
+
+
+def test_ewma_fold_python_replay(spark):
+    """The smoothed level must equal a direct Python fold over the
+    sorted daily counts, bit-for-bit (dyadic alpha)."""
+    reg = _registry()
+    got = {r["event_type"]: r for r in reg["ewma_forecast_daily"].fn(spark, SF).collect()}
+    daily = {}
+    for r in (
+        load_table(spark, SF, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ):
+        daily.setdefault(r["event_type"], []).append((r["day"], r["n"]))
+    for et, pairs in daily.items():
+        level = None
+        for _, n in sorted(pairs):
+            level = float(n) if level is None else (float(n) + level) / 2.0
+        assert got[et]["forecast_next_day"] == level, et
+        assert got[et]["n_days"] == len(pairs)
