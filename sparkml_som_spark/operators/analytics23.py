@@ -1,0 +1,170 @@
+"""Analytics operators, round 5 twentieth wave: funnel stage-latency
+percentiles (how long each conversion hop takes) and the cohort
+lifetime-value matrix (cumulative purchase value per signup cohort).
+
+Scale discipline:
+
+- stage latencies reuse the shared `_funnel_stages` per-user tables
+  (every hop equi-joined on user_id, outputs bounded by users); the
+  percentiles aggregate the bounded per-user latency table;
+- the LTV matrix is the retention-cohort shape with SUM(value)
+  payloads: user-keyed hops, a bounded (cohort-week x offset) grid,
+  and a cumulative window over the bounded grid only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparkml_som_spark.operators.corpus_ops3 import _funnel_stages
+from sparkml_som_spark.operators.registry import register
+from sparkml_som_spark.sources import load_table
+
+
+@register(
+    "funnel_stage_latency",
+    sql="""
+    WITH s AS (
+        SELECT user_id, MIN(ts) AS s_ts FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ), c AS (
+        SELECT s.user_id, MIN(e.ts) AS c_ts
+        FROM s JOIN events e ON e.user_id = s.user_id
+         AND e.event_type = 'click'
+         AND e.ts >= s.s_ts AND e.ts < s.s_ts + INTERVAL 7 DAY
+        GROUP BY s.user_id
+    ), p AS (
+        SELECT c.user_id, MIN(e.ts) AS p_ts
+        FROM c JOIN events e ON e.user_id = c.user_id
+         AND e.event_type = 'purchase'
+         AND e.ts >= c.c_ts AND e.ts < c.c_ts + INTERVAL 7 DAY
+        GROUP BY c.user_id
+    ), lat AS (
+        SELECT 'signup_to_click' AS hop,
+               (epoch_us(c.c_ts) - epoch_us(s.s_ts)) / 3600000000.0 AS hours
+        FROM s JOIN c ON c.user_id = s.user_id
+        UNION ALL
+        SELECT 'click_to_purchase' AS hop,
+               (epoch_us(p.p_ts) - epoch_us(c.c_ts)) / 3600000000.0 AS hours
+        FROM c JOIN p ON p.user_id = c.user_id
+    )
+    SELECT hop,
+           CAST(COUNT(*) AS BIGINT)              AS n_users,
+           ROUND(quantile_cont(hours, 0.5), 4)   AS p50_hours,
+           ROUND(quantile_cont(hours, 0.9), 4)   AS p90_hours,
+           ROUND(MAX(hours), 4)                  AS max_hours
+    FROM lat GROUP BY hop
+    """,
+    desc="funnel hop latencies: p50/p90 hours between conversion stages over the bounded per-user stage tables",
+)
+def funnel_stage_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How long each funnel hop takes: the p50/p90 time from first
+    signup to first qualifying click, and from that click to the first
+    qualifying purchase — the latency view that tells you WHERE the
+    funnel stalls, not just where it leaks.
+
+    Reuses the shared `_funnel_stages` per-user tables (all hops
+    equi-joined on user_id, outputs bounded by users); hop latencies
+    are exact integer micros until the final hours conversion, and the
+    percentiles aggregate the bounded per-user table (the SLA entry's
+    exact-interpolation parity).
+    """
+    s, c, p = _funnel_stages(load_table(spark, sf_dir, "events"))
+    sc = (
+        s.join(c, "user_id")
+        .select(
+            F.lit("signup_to_click").alias("hop"),
+            ((F.unix_micros("c_ts") - F.unix_micros("s_ts")) / 3600000000.0).alias(
+                "hours"
+            ),
+        )
+    )
+    cp = (
+        c.join(p, "user_id")
+        .select(
+            F.lit("click_to_purchase").alias("hop"),
+            ((F.unix_micros("p_ts") - F.unix_micros("c_ts")) / 3600000000.0).alias(
+                "hours"
+            ),
+        )
+    )
+    lat = sc.unionByName(cp)
+    return lat.groupBy("hop").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.percentile("hours", F.lit(0.5)), 4).alias("p50_hours"),
+        F.round(F.percentile("hours", F.lit(0.9)), 4).alias("p90_hours"),
+        F.round(F.max("hours"), 4).alias("max_hours"),
+    )
+
+
+@register(
+    "cohort_ltv_matrix",
+    sql="""
+    WITH su AS (
+        SELECT user_id,
+               CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), pv AS (
+        SELECT e.user_id,
+               CAST(FLOOR(date_diff('day', su.cohort_week, CAST(e.ts AS DATE)) / 7.0)
+                    AS BIGINT) AS week_offset,
+               e.value
+        FROM events e JOIN su ON su.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= su.cohort_week
+    ), grid AS (
+        SELECT su.cohort_week, pv.week_offset,
+               ROUND(SUM(pv.value), 4) AS week_value
+        FROM pv JOIN su ON su.user_id = pv.user_id
+        GROUP BY 1, 2
+    )
+    SELECT cohort_week, week_offset, week_value,
+           ROUND(SUM(week_value) OVER (PARTITION BY cohort_week ORDER BY week_offset
+                                       ROWS UNBOUNDED PRECEDING), 4) AS cum_value
+    FROM grid
+    """,
+    desc="cohort LTV: signup-week cohorts x week offsets with weekly and cumulative purchase value; windows over the bounded grid only",
+)
+def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifetime-value curves per signup cohort: weekly purchase value
+    by (cohort week, week offset) plus the cumulative LTV running
+    total — the matrix behind every 'does LTV recover CAC' chart.
+
+    The retention-cohort shape with value payloads: user-keyed hops
+    (signup week joined onto the user's purchases), a bounded
+    (cohort x offset) grid aggregated with map-side combine, weekly
+    values rounded once at the bounded row, and the cumulative window
+    running over the BOUNDED grid — never over raw events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    su = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week"))
+    )
+    pv = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .where(F.col("ts") >= F.col("cohort_week"))
+        .select(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.to_date("ts"), F.col("cohort_week")) / 7.0
+            ).cast("long").alias("week_offset"),
+            "value",
+        )
+    )
+    grid = pv.groupBy("cohort_week", "week_offset").agg(
+        F.round(F.sum("value"), 4).alias("week_value")
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.select(
+        "cohort_week",
+        "week_offset",
+        "week_value",
+        F.round(F.sum("week_value").over(w), 4).alias("cum_value"),
+    )

@@ -1,0 +1,58 @@
+"""analytics23 mechanics: funnel latency consistency with the funnel
+counters, and LTV cumulative/conservation laws."""
+
+from pyspark.sql import functions as F
+
+from sparkml_som_spark.operators.registry import load_all
+from sparkml_som_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _registry():
+    return load_all()
+
+
+def test_funnel_latency_consistent_with_counters(spark):
+    """Latency row counts must equal the funnel's stage counts, and
+    every hop latency obeys the funnel's 7-day qualification window."""
+    reg = _registry()
+    lat = {r["hop"]: r for r in reg["funnel_stage_latency"].fn(spark, SF).collect()}
+    fun = reg["funnel_conversion_events"].fn(spark, SF).collect()[0]
+    assert lat["signup_to_click"]["n_users"] == fun["n_click"]
+    assert lat["click_to_purchase"]["n_users"] == fun["n_purchase"]
+    for hop, r in lat.items():
+        assert 0 <= r["p50_hours"] <= r["p90_hours"] <= r["max_hours"]
+        assert r["max_hours"] < 7 * 24
+
+
+def test_ltv_cumulative_and_conservation(spark):
+    """cum_value is the running sum of week_value per cohort, and the
+    grand total equals the purchase value of signup users counted from
+    their cohort week."""
+    reg = _registry()
+    rows = reg["cohort_ltv_matrix"].fn(spark, SF).collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_week"], []).append(r)
+    assert by_cohort
+    for cw, items in by_cohort.items():
+        items.sort(key=lambda r: r["week_offset"])
+        run = 0.0
+        for r in items:
+            run = round(run + r["week_value"], 4)
+            assert abs(r["cum_value"] - run) < 1e-3, (cw, r)
+    ev = load_table(spark, SF, "events")
+    su = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).cast("date").alias("cw"))
+    )
+    total = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .where(F.col("ts") >= F.col("cw"))
+        .agg(F.sum("value"))
+        .collect()[0][0]
+    )
+    assert abs(sum(r["week_value"] for r in rows) - total) < 1e-2
