@@ -168,3 +168,72 @@ def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "week_value",
         F.round(F.sum("week_value").over(w), 4).alias("cum_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# 3. open-order backlog over time (interval concurrency counting)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "open_orders_backlog",
+    sql="""
+    WITH spans AS (
+        SELECT o.o_orderkey,
+               CAST(o.o_orderdate AS DATE) AS start_day,
+               CAST(MAX(l.l_shipdate) AS DATE) AS end_day
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ), deltas AS (
+        SELECT start_day AS day, COUNT(*) AS d FROM spans GROUP BY 1
+        UNION ALL
+        SELECT end_day + 1 AS day, -COUNT(*) AS d FROM spans GROUP BY 1
+    ), daily AS (
+        SELECT day, SUM(d) AS delta FROM deltas GROUP BY day
+    )
+    SELECT day,
+           CAST(delta AS BIGINT) AS net_change,
+           CAST(SUM(delta) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS open_orders
+    FROM daily
+    QUALIFY open_orders > 0 OR net_change <> 0
+    """,
+    desc="open-order backlog: interval concurrency via +1/-1 day deltas aggregated first; running sum over the bounded day spine",
+)
+def open_orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many orders are OPEN (placed, not yet fully shipped) on
+    each day — interval concurrency counting, the ops-dashboard
+    backlog curve.
+
+    The scale-honest shape: each order contributes exactly two delta
+    events (+1 at placement, -1 the day after its last shipment),
+    deltas aggregate to the bounded day spine with map-side combine,
+    and the running concurrency is a cumulative sum over that BOUNDED
+    table — never a per-day interval scan (which would be days x
+    orders).  The global window runs over ~thousands of calendar days
+    at any corpus size.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    spans = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", F.to_date("o_orderdate").alias("start_day"))
+        .agg(F.to_date(F.max("l_shipdate")).alias("end_day"))
+    )
+    deltas = (
+        spans.groupBy(F.col("start_day").alias("day"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .unionByName(
+            spans.groupBy(F.date_add("end_day", 1).alias("day")).agg(
+                (-F.count(F.lit(1))).alias("d")
+            )
+        )
+    )
+    daily = deltas.groupBy("day").agg(F.sum("d").alias("net_change"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        daily.withColumn("open_orders", F.sum("net_change").over(w))
+        .where((F.col("open_orders") > 0) | (F.col("net_change") != 0))
+        .select("day", F.col("net_change").cast("long").alias("net_change"),
+                F.col("open_orders").cast("long").alias("open_orders"))
+    )

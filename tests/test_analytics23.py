@@ -56,3 +56,38 @@ def test_ltv_cumulative_and_conservation(spark):
         .collect()[0][0]
     )
     assert abs(sum(r["week_value"] for r in rows) - total) < 1e-2
+
+
+def test_backlog_replay_and_terminal_zero(spark):
+    """The running backlog must equal a Python sweep over order spans,
+    and must return to zero after the last end day."""
+    reg = _registry()
+    rows = sorted(
+        reg["open_orders_backlog"].fn(spark, SF).collect(), key=lambda r: r["day"]
+    )
+    assert rows
+    o = load_table(spark, SF, "orders")
+    li = load_table(spark, SF, "lineitem")
+    spans = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", F.to_date("o_orderdate").alias("s"))
+        .agg(F.to_date(F.max("l_shipdate")).alias("e"))
+        .collect()
+    )
+    import datetime
+
+    deltas = {}
+    for r in spans:
+        deltas[r["s"]] = deltas.get(r["s"], 0) + 1
+        d1 = r["e"] + datetime.timedelta(days=1)
+        deltas[d1] = deltas.get(d1, 0) - 1
+    run, want = 0, {}
+    for day in sorted(deltas):
+        run += deltas[day]
+        want[day] = (deltas[day], run)
+    got = {r["day"]: (r["net_change"], r["open_orders"]) for r in rows}
+    for day, v in got.items():
+        assert want[day] == v, day
+    assert rows[-1]["open_orders"] == 0 or rows[-1]["net_change"] != 0
+    # total conservation: sum of deltas is zero
+    assert sum(r["net_change"] for r in rows) == 0
