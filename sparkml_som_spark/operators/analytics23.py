@@ -237,3 +237,71 @@ def open_orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", F.col("net_change").cast("long").alias("net_change"),
                 F.col("open_orders").cast("long").alias("open_orders"))
     )
+
+
+# --------------------------------------------------------------------------
+# 4. Benford first-digit audit (data forensics)
+# --------------------------------------------------------------------------
+
+# log10(1 + 1/d) to 6 places, hardcoded so no libm log appears in any
+# emitted value or filter
+_BENFORD = {
+    1: 0.301030, 2: 0.176091, 3: 0.124939, 4: 0.096910,
+    5: 0.079181, 6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}
+_BENFORD_SQL = "CASE " + " ".join(
+    f"WHEN digit = {d} THEN {p}::DOUBLE" for d, p in _BENFORD.items()
+) + " END"
+
+
+@register(
+    "benford_first_digit_audit",
+    sql=f"""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                    AS BIGINT) AS digit
+        FROM orders
+    ), g AS (
+        SELECT digit, COUNT(*) AS n FROM d GROUP BY digit
+    ), t AS (
+        SELECT SUM(n) AS total FROM g
+    )
+    SELECT g.digit,
+           CAST(g.n AS BIGINT)                        AS n_orders,
+           ROUND(g.n::DOUBLE / t.total, 6)            AS observed_share,
+           {_BENFORD_SQL}                             AS benford_share,
+           ROUND(ABS(g.n::DOUBLE / t.total - {_BENFORD_SQL}), 6) AS abs_diff
+    FROM g, t
+    """,
+    desc="Benford first-digit audit on order totals: integer-string digit extraction (engine-safe), hardcoded Benford constants, no libm",
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data forensics: the first-digit distribution of order totals
+    against Benford's law — the screen auditors run for fabricated or
+    truncated financial data.
+
+    The first digit comes from the INTEGER part's string (integer
+    formatting is engine-deterministic; double formatting is not), the
+    Benford probabilities are hardcoded constants (no libm log in any
+    emitted value), and the whole audit is one map-side-combined
+    aggregate to nine rows plus a one-row total broadcast.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    g = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    t = g.agg(F.sum("n_orders").alias("total"))
+    bexpr = F.create_map(
+        *[F.lit(x) for kv in _BENFORD.items() for x in kv]
+    )[F.col("digit")]
+    share = F.col("n_orders").cast("double") / F.col("total")
+    return g.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n_orders",
+        F.round(share, 6).alias("observed_share"),
+        bexpr.alias("benford_share"),
+        F.round(F.abs(share - bexpr), 6).alias("abs_diff"),
+    )

@@ -91,3 +91,20 @@ def test_backlog_replay_and_terminal_zero(spark):
     assert rows[-1]["open_orders"] == 0 or rows[-1]["net_change"] != 0
     # total conservation: sum of deltas is zero
     assert sum(r["net_change"] for r in rows) == 0
+
+
+def test_benford_shares_partition(spark):
+    """Observed shares sum to 1 across the nine digits; counts
+    partition the orders table; Benford shares are the known
+    constants."""
+    reg = _registry()
+    rows = {r["digit"]: r for r in reg["benford_first_digit_audit"].fn(spark, SF).collect()}
+    assert set(rows) <= set(range(1, 10))
+    total = load_table(spark, SF, "orders").count()
+    assert sum(r["n_orders"] for r in rows.values()) == total
+    assert abs(sum(r["observed_share"] for r in rows.values()) - 1.0) < 1e-3
+    from sparkml_som_spark.operators.analytics23 import _BENFORD
+
+    for d, r in rows.items():
+        assert r["benford_share"] == _BENFORD[d]
+        assert abs(r["abs_diff"] - round(abs(r["observed_share"] - _BENFORD[d]), 6)) < 2e-6
