@@ -305,3 +305,56 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         bexpr.alias("benford_share"),
         F.round(F.abs(share - bexpr), 6).alias("abs_diff"),
     )
+
+
+# --------------------------------------------------------------------------
+# 5. Gini coefficient of revenue concentration (distributed-rank powered)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "gini_revenue_concentration",
+    sql="""
+    WITH rev AS (
+        SELECT o_custkey, ROUND(SUM(o_totalprice), 4) AS x
+        FROM orders GROUP BY o_custkey
+    ), ranked AS (
+        SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i FROM rev
+    )
+    SELECT CAST(COUNT(*) AS BIGINT)          AS n_customers,
+           ROUND(SUM(x), 4)                  AS total_revenue,
+           ROUND((2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x))
+                 / (COUNT(*) * SUM(x)), 6)   AS gini
+    FROM ranked
+    """,
+    desc="Gini coefficient of customer revenue: textbook rank formula, powered by the two-phase distributed global rank (no single-task window)",
+)
+def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration reporting: the Gini coefficient of
+    per-customer revenue — 0 when every customer spends the same, 1
+    when one customer is the whole business.
+
+    The textbook formula needs every customer's GLOBAL rank in revenue
+    order; the oracle writes the single-task `ROW_NUMBER() OVER
+    (ORDER BY ...)` form, and the Spark side computes the SAME ranks
+    through `distributed_global_rank` (range repartition + pinned
+    blocks + broadcast prefix offsets) — the scale-critical primitive
+    reused for one more real metric.  Per-customer revenue is rounded
+    once at the bounded customer row; the final Gini ratio is rounded
+    once at the single output row.
+    """
+    from sparkml_som_spark.operators.corpus_ops3 import distributed_global_rank
+
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 4).alias("x"))
+    ranked = distributed_global_rank(rev, ["x", "o_custkey"])
+    i = F.col("rank") + 1  # 0-based distributed rank -> textbook 1-based i
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("x"), 4).alias("total_revenue"),
+        F.round(
+            (2 * F.sum(i * F.col("x")) - (F.count(F.lit(1)) + 1) * F.sum("x"))
+            / (F.count(F.lit(1)) * F.sum("x")),
+            6,
+        ).alias("gini"),
+    )

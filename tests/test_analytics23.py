@@ -108,3 +108,24 @@ def test_benford_shares_partition(spark):
     for d, r in rows.items():
         assert r["benford_share"] == _BENFORD[d]
         assert abs(r["abs_diff"] - round(abs(r["observed_share"] - _BENFORD[d]), 6)) < 2e-6
+
+
+def test_gini_python_replay_and_bounds(spark):
+    """Gini must match a direct Python computation over sorted
+    per-customer revenues, and lie in [0, 1)."""
+    reg = _registry()
+    r = reg["gini_revenue_concentration"].fn(spark, SF).collect()[0]
+    rev = sorted(
+        (round(x["s"], 4), x["o_custkey"])
+        for x in load_table(spark, SF, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("s"))
+        .collect()
+    )
+    n = len(rev)
+    S = sum(v for v, _ in rev)
+    T = sum((idx + 1) * v for idx, (v, _) in enumerate(rev))
+    want = (2 * T - (n + 1) * S) / (n * S)
+    assert r["n_customers"] == n
+    assert abs(r["gini"] - round(want, 6)) < 1e-5
+    assert 0.0 <= r["gini"] < 1.0
