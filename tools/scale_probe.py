@@ -63,6 +63,12 @@ QUERIES = [
     "session_bounce_rollup",       # per-user session windows + day rollup
     "kanon_quasi_identifier_audit",  # one-aggregate privacy audit
     "join_key_skew_audit",         # key-frequency agg + TakeOrdered
+    "cogroup_order_reconcile",     # bucketed cogrouped-map reconciliation
+    "silhouette_simplified_labels",  # centroid-based, no all-pairs
+    "survival_km_purchase",        # bounded life-table product fold
+    "open_orders_backlog",         # delta events + bounded-spine cumsum
+    "gini_revenue_concentration",  # two-phase-rank-powered Gini
+    "stream_countmin_merge",       # per-batch additive sketch merges
 ]
 
 
