@@ -118,6 +118,12 @@ def register(name: str, sql: str | None = None, desc: str = ""):
 # basket_lift_brand_pairs, ohlc_daily_event_value; plus
 # pipeline_clean_corpus (green r3+r4) -> rag_context_pack so the
 # flagship retrieval-plus-packing composition gets a driver verdict.
+# Round-5 fourth rotation: the last two non-keeper slots green both
+# r3+r4 (decimal_agg_lineitem, text_quality_score — both still swept
+# by the local gate) went to the new model-eval family so it starts
+# accruing driver verdicts: auc_urgent_order_price (exact Mann-Whitney
+# AUC over bounded score bands) and kappa_langid_agreement (which also
+# re-exercises the full langid pipeline as its prediction stage).
 _PRIORITY: tuple[str, ...] = (
     "som_cluster_summary",
     "som_quantization_error",
@@ -135,7 +141,7 @@ _PRIORITY: tuple[str, ...] = (
     "pipeline_training_manifest",
     "shard_assignment_balanced",
     "countmin_heavy_hitters",
-    "decimal_agg_lineitem",
+    "auc_urgent_order_price",
     "corpus_mixture_weights",
     "variant_json_events",
     "pagerank_nation_flows",
@@ -148,7 +154,7 @@ _PRIORITY: tuple[str, ...] = (
     "grouped_map_ols_per_source",
     "pmi_term_pairs",
     "text_token_stats",
-    "text_quality_score",
+    "kappa_langid_agreement",
     "text_langid_ngram",
     "pack_greedy_capacity",
     "constraint_check_orders",
