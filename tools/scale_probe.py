@@ -69,6 +69,13 @@ QUERIES = [
     "open_orders_backlog",         # delta events + bounded-spine cumsum
     "gini_revenue_concentration",  # two-phase-rank-powered Gini
     "stream_countmin_merge",       # per-batch additive sketch merges
+    "auc_urgent_order_price",      # Mann-Whitney fold over bounded bands
+    "ndcg_label_retrieval",        # broadcast-queries ranking eval
+    "quota_largest_remainder",     # bounded source table + one-row total
+    "cusum_drift_revenue",         # bounded day-spine cumulative fold
+    "gains_lift_price_bands",      # bounded-band cumulative windows
+    "info_gain_urgency_features",  # bounded contingency cells
+    "kappa_langid_agreement",      # langid pipeline + bounded confusion
 ]
 
 
