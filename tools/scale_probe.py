@@ -76,6 +76,8 @@ QUERIES = [
     "gains_lift_price_bands",      # bounded-band cumulative windows
     "info_gain_urgency_features",  # bounded contingency cells
     "kappa_langid_agreement",      # langid pipeline + bounded confusion
+    "psi_value_drift",             # Laplace-smoothed bounded band cells
+    "ratio_metric_delta_ab",       # one row of moments per arm
 ]
 
 
