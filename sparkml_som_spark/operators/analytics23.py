@@ -347,9 +347,10 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 4).alias("x"))
-    ranked = distributed_global_rank(rev, ["x", "o_custkey"])
+    held: list = []
+    ranked = distributed_global_rank(rev, ["x", "o_custkey"], cleanup=held)
     i = F.col("rank") + 1  # 0-based distributed rank -> textbook 1-based i
-    return ranked.agg(
+    out = ranked.agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.sum("x"), 4).alias("total_revenue"),
         F.round(
@@ -358,3 +359,6 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+    from sparkml_som_spark.operators.registry import materialize_small
+
+    return materialize_small(out, cleanup=tuple(held))

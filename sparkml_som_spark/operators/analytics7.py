@@ -77,10 +77,11 @@ def histogram_equidepth_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice", "l_orderkey", "l_linenumber"
     )
     n = li.count()  # bounded scalar action (one long), same as the oracle's subquery
+    held: list = []
     ranked = distributed_global_rank(
-        li, ["l_extendedprice", "l_orderkey", "l_linenumber"]
+        li, ["l_extendedprice", "l_orderkey", "l_linenumber"], cleanup=held
     )
-    return (
+    out = (
         ranked.select(
             F.expr(f"(rank * {_EQD_BUCKETS}) DIV {n}").alias("bucket"),
             "l_extendedprice",
@@ -92,6 +93,9 @@ def histogram_equidepth_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_extendedprice").alias("hi"),
         )
     )
+    from sparkml_som_spark.operators.registry import materialize_small
+
+    return materialize_small(out, cleanup=tuple(held))
 
 
 # --------------------------------------------------------------------------

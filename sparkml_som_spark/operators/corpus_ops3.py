@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sparkml_som_spark.functions import word_tokens
-from sparkml_som_spark.operators.registry import register
+from sparkml_som_spark.operators.registry import materialize_small, register
 from sparkml_som_spark.sources import load_table
 
 _SCRATCH = os.path.join(
@@ -55,7 +55,9 @@ _N_SHARDS = 16
 _HIST_WIDTH = 25.0  # events.value spans ~[0, 500) -> ~20 bins
 
 
-def distributed_global_rank(df: DataFrame, sort_cols: list, n_parts: int = 8) -> DataFrame:
+def distributed_global_rank(
+    df: DataFrame, sort_cols: list, n_parts: int = 8, cleanup: list | None = None
+) -> DataFrame:
     """Append a 0-based global `rank` column under the given total order
     WITHOUT a single-task window.
 
@@ -73,19 +75,32 @@ def distributed_global_rank(df: DataFrame, sort_cols: list, n_parts: int = 8) ->
     columns must be a TOTAL order (include a tiebreaker) or ranks within
     a tie are partition-layout-dependent.
 
-    The partitioned+sorted intermediate is materialized ONCE (eager
-    executor-side checkpoint) before the count pass: RangePartitioner
-    samples range bounds with an RDD-seeded RNG, so recomputing the
-    shuffle for the assign pass could draw DIFFERENT bounds than the
-    count pass saw, silently duplicating/skipping ranks.  Pinning the
-    blocks makes boundary stability a guarantee (and halves the shuffle
-    work: one range exchange, two cheap reads of the pinned blocks)."""
+    The partitioned+sorted intermediate is pinned ONCE before the count
+    pass: RangePartitioner samples range bounds with an RDD-seeded RNG,
+    and two INDEPENDENT physical plans (one per action) could draw
+    DIFFERENT bounds, silently duplicating/skipping ranks.  A
+    ``persist()`` gives the guarantee cheaply: both the count action and
+    the assign action resolve to the SAME InMemoryRelation, whose child
+    is one RDD instance with one RangePartitioner — even an
+    eviction-triggered recompute re-executes that same instance, so the
+    bounds can never diverge.  Unlike the eager ``localCheckpoint`` this
+    replaced, no separate materialization job runs: the count pass both
+    fills the cache and produces the per-partition counts in one job
+    (boundary stability is covered by
+    ``test_distributed_global_rank_matches_window``)."""
+    from pyspark import StorageLevel
+
     spark = df.sparkSession
     parted = (
         df.repartitionByRange(n_parts, *sort_cols)
         .sortWithinPartitions(*sort_cols)
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if cleanup is not None:
+        # hand the cache handle back so the caller can release it via
+        # materialize_small(..., cleanup=...) once its bounded result
+        # is collected — otherwise the pinned blocks outlive the query
+        cleanup.append(parted)
 
     counts = {
         r["pid"]: r["n"]
@@ -201,16 +216,18 @@ def shard_assignment_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     `ROW_NUMBER() OVER (ORDER BY ...)` with no PARTITION BY would push
     the whole corpus through one task."""
     docs = load_table(spark, sf_dir, "documents", spread=True).select("doc_id", "n_chars")
+    held: list = []
     ranked = distributed_global_rank(
-        docs, [F.col("n_chars").desc(), F.col("doc_id").asc()], n_parts=8
+        docs, [F.col("n_chars").desc(), F.col("doc_id").asc()], n_parts=8, cleanup=held
     )
     assigned = ranked.withColumn("shard", (F.col("rank") % _N_SHARDS).cast("int"))
-    return assigned.groupBy("shard").agg(
+    out = assigned.groupBy("shard").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+    return materialize_small(out, cleanup=tuple(held))
 
 
 @register(
@@ -512,10 +529,11 @@ def pipeline_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("copy_rk") == 1)
         .select("doc_id", "source", "n_chars")
     )
+    held: list = []
     ranked = distributed_global_rank(
-        deduped, [F.col("n_chars").desc(), F.col("doc_id").asc()], n_parts=8
+        deduped, [F.col("n_chars").desc(), F.col("doc_id").asc()], n_parts=8, cleanup=held
     )
-    return (
+    out = (
         ranked.withColumn("shard", (F.col("rank") % _MANIFEST_SHARDS).cast("int"))
         .groupBy("shard")
         .agg(
@@ -525,6 +543,7 @@ def pipeline_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("id_checksum"),
         )
     )
+    return materialize_small(out, cleanup=tuple(held))
 
 
 def _funnel_stages(ev: DataFrame):

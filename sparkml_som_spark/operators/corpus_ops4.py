@@ -480,14 +480,15 @@ def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
     q = quality_scored(docs).select("doc_id", "quality")
+    held: list = []
     ranked = distributed_global_rank(
-        q, [F.col("quality").desc(), F.col("doc_id").asc()], n_parts=8
+        q, [F.col("quality").desc(), F.col("doc_id").asc()], n_parts=8, cleanup=held
     )
     cnt = q.agg(F.count(F.lit(1)).alias("cnt"))
     phase = F.floor(
         F.col("rank") * _CURRICULUM_PHASES * 1.0 / F.col("cnt")
     ).alias("phase")
-    return (
+    out = (
         ranked.crossJoin(F.broadcast(cnt))
         .groupBy(phase)
         .agg(
@@ -497,6 +498,9 @@ def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("id_checksum"),
         )
     )
+    from sparkml_som_spark.operators.registry import materialize_small
+
+    return materialize_small(out, cleanup=tuple(held))
 
 
 @register(

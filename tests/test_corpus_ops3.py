@@ -95,14 +95,23 @@ def test_distributed_global_rank_matches_window(spark, lengths, n_parts):
 
 def test_distributed_global_rank_single_range_shuffle(spark):
     """The partitioned+sorted intermediate must be pinned before the
-    count pass: the assign pass reads the SAME materialized blocks
-    (plan scans an existing RDD, no second rangepartitioning exchange),
-    which is what guarantees the broadcast offsets match the partitions
-    mapInPandas actually sees."""
+    count pass: the assign pass reads the SAME cached relation
+    (InMemoryTableScan over the one persisted child — one
+    RangePartitioner instance for both passes), which is what
+    guarantees the broadcast offsets match the partitions mapInPandas
+    actually sees.  An unpinned plan would re-plan the range exchange
+    per action and could draw different sampled bounds."""
     from sparkml_som_spark.operators.corpus_ops3 import distributed_global_rank
 
     df = spark.createDataFrame([(i, i % 7) for i in range(100)], "id long, v long")
-    out = distributed_global_rank(df, [F.col("v").asc(), F.col("id").asc()], n_parts=4)
+    held = []
+    out = distributed_global_rank(
+        df, [F.col("v").asc(), F.col("id").asc()], n_parts=4, cleanup=held
+    )
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning" not in plan.lower(), plan
-    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    # the count pass resolves to the same cached relation
+    cnt_plan = held[0]._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in cnt_plan, cnt_plan
+    for h in held:
+        h.unpersist()
