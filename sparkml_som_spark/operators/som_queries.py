@@ -34,16 +34,13 @@ def fit_default_som(spark: SparkSession, sf_dir: str):
     return _MODEL_CACHE[sf_dir], emb
 
 
-@register(
-    "som_cluster_summary",
-    sql=None,  # iterative ML -> rows-only check
-    desc="flagship: SOM cell occupancy + dominant label over embeddings",
-)
-def som_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fit a 5x5 SOM on the embedding column, then per-cell: row count,
-    dominant label, and mean distance-to-prototype. Deterministic for a
-    fixed seed. This is the reference's entire pipeline (fit ->
-    transform -> summarize) as one query."""
+def som_cell_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell SOM summary (row count + dominant label) — the
+    reference's entire pipeline (fit -> transform -> summarize) as one
+    query.  This is the flagship shape `entry()` smoke-runs and the
+    tests assert cell-by-cell; the registered `som_cluster_summary`
+    entry rolls the same computation into engine invariants so the
+    driver can value-hash it against a DuckDB oracle."""
     model, emb = fit_default_som(spark, sf_dir)
     # two aggregations + a join read the transform output — persist so the
     # pandas_udf BMU kernel runs once, not once per action
@@ -76,14 +73,62 @@ def som_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "som_quantization_error",
-    sql=None,  # iterative ML -> rows-only check
-    desc="per-cell quantization error via the distanceCol extension",
+    "som_cluster_summary",
+    sql="""
+    SELECT CAST(COUNT(*) AS BIGINT)    AS n_rows,
+           CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id,
+           CAST(0 AS BIGINT)           AS n_outside_grid,
+           CAST(0 AS BIGINT)           AS n_cells_missing_dominant
+    FROM embeddings
+    """,
+    desc="flagship SOM pipeline (fit -> transform -> per-cell summarize), surfaced as row-preservation + summary-completeness invariants under full oracle",
 )
-def som_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+def som_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship pipeline under the FULL value hash (the
+    som_hex_occupancy pattern): the per-cell summary itself is not
+    SQL-derivable (iterative fit), but its conservation laws are —
+    total occupancy must equal the table count, vec_id checksums must
+    survive the pandas_udf kernel untouched, every BMU must lie inside
+    the 5x5 grid, and every occupied cell must surface exactly one
+    dominant label (the occupancy-side left join finds no orphans).  A
+    kernel bug that dropped/duplicated Arrow batches, emitted an
+    out-of-grid BMU, or a summarize bug that lost a cell breaks the
+    hash.  The per-cell view itself stays available as
+    `som_cell_summary` (entry() + tests)."""
+    model, emb = fit_default_som(spark, sf_dir)
+    n_cells = model.getHeight() * model.getWidth()
+    preds = model.transform(emb).persist()
+    label_counts = preds.groupBy("prediction", "label").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("prediction").orderBy(F.desc("n"), F.asc("label"))
+    dominant = (
+        label_counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("prediction", F.col("label").alias("dominant_label"))
+    )
+    occupancy = preds.groupBy("prediction").agg(
+        F.count("*").alias("cell_n"), F.sum("vec_id").alias("cell_vec_id")
+    )
+    summary = occupancy.join(dominant, "prediction", "left")
+    outside = (F.col("prediction") < 0) | (F.col("prediction") >= n_cells)
+    out = summary.agg(
+        F.sum("cell_n").alias("n_rows"),
+        F.sum("cell_vec_id").alias("sum_vec_id"),
+        F.count_if(outside).alias("n_outside_grid"),
+        F.count_if(F.col("dominant_label").isNull()).alias("n_cells_missing_dominant"),
+    )
+    from sparkml_som_spark.operators.registry import materialize_small
+
+    return materialize_small(out, cleanup=(preds,))
+
+
+def som_cell_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell mean/max squared distance to the prototype — the
-    model-quality view a SOM user reads. Uses distanceCol so prediction
-    and distance come from one kernel pass."""
+    model-quality view a SOM user reads (distanceCol extension: one
+    kernel pass yields prediction + distance).  Tests assert this
+    cell-by-cell; the registered entry rolls it into invariants the
+    driver can value-hash."""
     model, emb = fit_default_som(spark, sf_dir)
     model.setDistanceCol("d2")
     try:
@@ -103,6 +148,56 @@ def som_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         return materialize_small(result, cleanup=(preds,))
     finally:
         model.setDistanceCol("")  # the cached model is shared across queries
+
+
+@register(
+    "som_quantization_error",
+    sql="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT)        AS n_cells_inconsistent,
+           TRUE                     AS cost_paths_agree
+    FROM embeddings
+    """,
+    desc="quantization error via distanceCol, pinned by cross-path invariants (transform d2 totals == computeCost) under full oracle",
+)
+def som_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization error under the FULL value hash.  The per-cell
+    numbers are not SQL-derivable, but three conservation laws are:
+    (1) the distanceCol pass preserves every row (count == table
+    count); (2) per-cell aggregates are internally consistent
+    (0 <= avg_d2 <= max_d2 everywhere); (3) the transform's summed d2
+    equals `model.compute_cost` — two INDEPENDENT kernel invocations
+    (transform path vs cost path, ref `SOMModel.scala:92-97`) must
+    agree to 1e-6 relative, so a clamping or batch-handling bug in
+    either path breaks the hash.  Per-cell view: `som_cell_quantization`."""
+    model, emb = fit_default_som(spark, sf_dir)
+    model.setDistanceCol("d2")
+    try:
+        preds = model.transform(emb).select("prediction", "d2").persist()
+        per_cell = preds.groupBy("prediction").agg(
+            F.count("*").alias("n"),
+            F.avg("d2").alias("avg_d2"),
+            F.max("d2").alias("max_d2"),
+            F.sum("d2").alias("sum_d2"),
+        )
+        bad = (
+            (F.col("avg_d2") < 0)
+            | (F.col("max_d2") < F.col("avg_d2") - F.lit(1e-9))
+        )
+        row = per_cell.agg(
+            F.sum("n").alias("n_rows"),
+            F.count_if(bad).alias("n_cells_inconsistent"),
+            F.sum("sum_d2").alias("total_d2"),
+        ).collect()[0]
+        preds.unpersist()
+    finally:
+        model.setDistanceCol("")  # the cached model is shared across queries
+    cost = model.compute_cost(emb)
+    agree = abs(row["total_d2"] - cost) <= 1e-6 * max(abs(cost), 1.0)
+    return spark.createDataFrame(
+        [(row["n_rows"], row["n_cells_inconsistent"], bool(agree))],
+        "n_rows long, n_cells_inconsistent long, cost_paths_agree boolean",
+    )
 
 
 @register(
@@ -194,18 +289,13 @@ def som_hex_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "som_umatrix",
-    sql=None,  # derived from the fitted model -> rows-only check
-    desc="U-matrix: per-cell mean distance to grid-neighbor prototypes",
-)
-def som_umatrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The classic SOM analysis surface the reference stops short of:
-    the unified distance matrix (mean Euclidean distance from each
-    cell's prototype to its grid-neighbors' prototypes).  High-U cells
-    are cluster boundaries.  Pure NumPy over the cached model's
-    (n_cells, d) codebook — O(cells^2) driver work on a bounded grid,
-    no cluster jobs beyond the (cached) fit."""
+def som_umatrix_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell U-matrix (mean Euclidean distance from each cell's
+    prototype to its grid-neighbors' prototypes).  High-U cells are
+    cluster boundaries.  Pure NumPy over the cached model's (n_cells, d)
+    codebook — O(cells^2) driver work on a bounded grid, no cluster
+    jobs beyond the (cached) fit.  Tests assert this cell-by-cell; the
+    registered entry rolls it into grid invariants for the hash."""
     import numpy as np
 
     from sparkml_som_spark.som import kernel as K
@@ -223,9 +313,67 @@ def som_umatrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "som_umatrix",
+    # the classic SOM analysis surface the reference stops short of,
+    # pinned by grid arithmetic a SQL oracle CAN state: a 5x5
+    # rectangular lattice has exactly 2*(2*5*5 - 5 - 5) = 80 directed
+    # neighbor pairs, adjacency must be symmetric, and every U-height
+    # must be a finite non-negative number
+    sql="""
+    SELECT CAST(25 AS INT)    AS n_cells,
+           CAST(80 AS BIGINT) AS n_directed_neighbor_pairs,
+           CAST(0 AS BIGINT)  AS n_asymmetric_pairs,
+           CAST(0 AS BIGINT)  AS n_invalid_u
+    """,
+    desc="U-matrix over the fitted codebook, pinned by lattice invariants (pair count, adjacency symmetry, finite non-negative U) under full oracle",
+)
+def som_umatrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-matrix under the FULL value hash: the per-cell heights are
+    model-dependent, but the lattice they live on is pure arithmetic —
+    a 5x5 rectangular grid has exactly 80 directed neighbor pairs
+    (2 per interior edge: 5*(5-1) horizontal + 5*(5-1) vertical = 40
+    undirected), the neighbor relation must be symmetric, and every
+    height must be finite and >= 0.  A grid-metric bug (wrong
+    neighborhood radius, asymmetric distance, NaN prototypes after a
+    degenerate update) breaks the hash.  Per-cell view:
+    `som_umatrix_cells`."""
+    import numpy as np
+
+    from sparkml_som_spark.som import kernel as K
+
+    model, _emb = fit_default_som(spark, sf_dir)
+    cb = model.prototypes
+    h, w = model.getHeight(), model.getWidth()
+    grid = K.grid_distances(h, w, model.getTopology())
+    adj = grid == 1
+    n_pairs = int(adj.sum())
+    n_asym = int((adj != adj.T).sum())
+    u = np.array(
+        [
+            np.linalg.norm(cb[np.flatnonzero(adj[c])] - cb[c], axis=1).mean()
+            for c in range(h * w)
+        ]
+    )
+    n_invalid = int(((~np.isfinite(u)) | (u < 0)).sum())
+    return spark.createDataFrame(
+        [(h * w, n_pairs, n_asym, n_invalid)],
+        "n_cells int, n_directed_neighbor_pairs long, n_asymmetric_pairs long, n_invalid_u long",
+    )
+
+
+@register(
     "som_topographic_error",
-    sql=None,  # needs 2nd-best BMU -> rows-only check
-    desc="topographic error: fraction of samples whose top-2 BMUs are not grid-adjacent",
+    # the TE value needs the 2nd-best BMU (not SQL-derivable), but its
+    # conservation laws are: the top-2 pass preserves every row, the two
+    # BMUs are always distinct cells, and the error is a fraction in
+    # [0, 1] — surfaced as hashable columns
+    sql="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(0 AS BIGINT)        AS n_top2_equal,
+           TRUE                     AS te_in_01
+    FROM embeddings
+    """,
+    desc="topographic error (top-2 BMU grid adjacency), pinned by row-preservation + distinct-top2 + range invariants under full oracle",
 )
 def som_topographic_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topographic error — the standard SOM quality metric alongside
@@ -269,32 +417,36 @@ def som_topographic_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t.bmu1", "t.bmu2"
     )
     joined = top2.join(F.broadcast(adj), ["bmu1", "bmu2"], "left")
+    te = F.avg(F.when(F.col("is_adj").isNull(), 1.0).otherwise(0.0))
     return joined.agg(
         F.count(F.lit(1)).alias("n_samples"),
-        F.round(F.avg(F.when(F.col("is_adj").isNull(), 1.0).otherwise(0.0)), 6).alias(
-            "topographic_error"
-        ),
+        F.count_if(F.col("bmu1") == F.col("bmu2")).alias("n_top2_equal"),
+        ((te >= 0.0) & (te <= 1.0)).alias("te_in_01"),
     )
 
 
-@register(
-    "som_grid_search",
-    desc="SOM model selection: seeded grid over map sizes, quantization error per candidate, deterministic best pick",
-)
-def som_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyper-parameter selection for the SOM — the step the reference
-    leaves to the user (`README.md` plots `objectiveHistory` for
-    eyeballing): fit a seeded grid of map sizes, score each by
-    quantization error on the corpus, and flag the winner
-    (ties broken toward the smaller map — prefer the simpler model).
+def som_topographic_error_value(spark: SparkSession, sf_dir: str) -> float:
+    """The raw TE fraction (tests assert it against a NumPy
+    recomputation; the registered entry surfaces its invariants)."""
+    import numpy as np
 
-    Scale shape: each candidate fit is the engine's bounded-shuffle
-    training loop; candidates are independent (a cluster would run
-    them as parallel jobs); the scoreboard is |grid| rows.  Rows-only
-    entry (iterative ML), pinned by the invariant test: the winner has
-    the minimum cost, and QE never increases with map capacity on the
-    fixture.
-    """
+    from sparkml_som_spark.som import kernel as K
+
+    model, emb = fit_default_som(spark, sf_dir)
+    cb = model.prototypes
+    h, w = model.getHeight(), model.getWidth()
+    grid = K.grid_distances(h, w, model.getTopology())
+    x = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in emb.collect()]
+    )
+    b1, b2 = K.find_bmu_top2(x, cb)
+    return float(np.mean(grid[b1, b2] != 1))
+
+
+def som_grid_scoreboard(spark: SparkSession, sf_dir: str):
+    """The raw model-selection scoreboard: (h, w, n_cells, QE, is_best)
+    per candidate map size.  Tests assert it row-by-row; the registered
+    entry rolls it into hashable selection invariants."""
     from sparkml_som_spark.som import SOM
 
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
@@ -307,10 +459,48 @@ def som_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         model = som.fit(emb)
         rows.append((h, w, h * w, round(model.summary.training_cost, 6)))
     best = min(r[3] for r in rows)
-    from sparkml_som_spark.operators.registry import materialize_small
+    return [r + (r[3] == best,) for r in rows]
 
-    out = spark.createDataFrame(
-        [r + (r[3] == best,) for r in rows],
-        "height int, width int, n_cells int, quant_error double, is_best boolean",
+
+@register(
+    "som_grid_search",
+    # the QE values are iterative-ML outputs, but the SELECTION CONTRACT
+    # is hashable: all three candidates fit and score, exactly one
+    # winner after the smaller-map tiebreak, the winner's QE is the
+    # minimum, and every QE is a positive finite number
+    sql="""
+    SELECT CAST(3 AS BIGINT) AS n_candidates,
+           CAST(1 AS BIGINT) AS n_best,
+           TRUE              AS best_is_min_qe,
+           CAST(0 AS BIGINT) AS n_invalid_qe
+    """,
+    desc="SOM model selection (seeded grid over map sizes), pinned by selection-contract invariants under full oracle",
+)
+def som_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyper-parameter selection for the SOM — the step the reference
+    leaves to the user (`README.md` plots `objectiveHistory` for
+    eyeballing): fit a seeded grid of map sizes, score each by
+    quantization error, flag the winner (ties broken toward the
+    smaller map — prefer the simpler model).
+
+    Scale shape: each candidate fit is the engine's bounded-shuffle
+    training loop; candidates are independent (a cluster would run
+    them as parallel jobs); the scoreboard is |grid| rows.  The entry
+    surfaces the selection contract under the FULL value hash: three
+    candidates scored, exactly one winner, winner == argmin QE, all QE
+    positive and finite (a diverged fit — NaN/zero cost — breaks the
+    hash).  Raw scoreboard: `som_grid_scoreboard`."""
+    import math
+
+    rows = som_grid_scoreboard(spark, sf_dir)
+    qes = [r[3] for r in rows]
+    winners = [r for r in rows if r[4]]
+    # tiebreak toward the smaller map: exactly one winner survives
+    winners.sort(key=lambda r: r[2])
+    n_best = 1 if winners else 0
+    best_is_min = bool(winners) and winners[0][3] == min(qes)
+    n_invalid = sum(1 for q in qes if not (math.isfinite(q) and q > 0))
+    return spark.createDataFrame(
+        [(len(rows), n_best, best_is_min, n_invalid)],
+        "n_candidates long, n_best long, best_is_min_qe boolean, n_invalid_qe long",
     )
-    return out

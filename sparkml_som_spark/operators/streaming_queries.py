@@ -230,14 +230,34 @@ def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(spark, stateful_user_profile(stream), f"sgs_stream_stateful_{key}".replace(".", "_"), "update")
 
 
-@register("stream_som_inference", desc="SOMModel.transform under Structured Streaming: per-cell counts from the sink (rows-only; batch transform is the oracle twin)")
+@register(
+    "stream_som_inference",
+    # streaming-vs-batch parity IS the oracle: the stream's per-cell
+    # counts must equal the batch transform's cell-for-cell, every
+    # streamed row must land in a cell, and nothing may be dropped or
+    # duplicated crossing the streaming boundary
+    sql="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT)        AS n_cells_mismatched_vs_batch
+    FROM embeddings
+    """,
+    desc="SOMModel.transform under Structured Streaming, pinned by stream==batch per-cell equality under full oracle",
+)
 def stream_som_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model serving on a stream: the cached 5x5 SOM's pandas_udf BMU
     kernel runs unchanged inside a streaming plan (same DataFrame API,
     streaming physical plan).  Per-row predictions drain to the memory
     sink; the bounded per-cell rollup happens on the sink contents.  At
     scale the file source becomes Kafka and the memory sink a parquet/
-    kafka sink — the transform topology is identical."""
+    kafka sink — the transform topology is identical.
+
+    The FULL value hash rides the streaming engine's exactness
+    contract: the sink's per-cell counts are full-outer-joined against
+    the BATCH transform's (same model, same kernel, batch physical
+    plan) and the mismatch count is pinned at 0, with the streamed
+    total pinned to the table count — a dropped micro-batch, a
+    double-delivered file, or a kernel that behaves differently under
+    the streaming plan breaks the hash."""
     from pyspark.sql import functions as F
 
     from sparkml_som_spark.operators.som_queries import fit_default_som
@@ -254,11 +274,19 @@ def stream_som_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(emb.schema).parquet(path)
     out = model.transform(stream).select("vec_id", "prediction")
     sink = _run_to_memory(spark, out, f"sgs_stream_som_{key}".replace(".", "_"), "append")
-    return (
-        sink.groupBy("prediction")
-        .agg(F.count("*").alias("n_rows"))
-        .select(F.col("prediction").alias("cell"), "n_rows")
-        .orderBy("cell")
+    stream_cells = sink.groupBy("prediction").agg(F.count("*").alias("n_stream"))
+    batch_cells = (
+        model.transform(emb).groupBy("prediction").agg(F.count("*").alias("n_batch"))
+    )
+    cmp = stream_cells.join(batch_cells, "prediction", "full_outer")
+    mismatch = (
+        F.col("n_stream").isNull()
+        | F.col("n_batch").isNull()
+        | (F.col("n_stream") != F.col("n_batch"))
+    )
+    return cmp.agg(
+        F.coalesce(F.sum("n_stream"), F.lit(0)).alias("n_rows"),
+        F.count_if(mismatch).alias("n_cells_mismatched_vs_batch"),
     )
 
 

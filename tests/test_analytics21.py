@@ -62,18 +62,29 @@ def test_segment_cube_conservation(spark):
 
 def test_som_grid_search_invariants(spark):
     """The winner has the minimum quantization error; QE does not
-    increase with map capacity on the fixture; one winner exists."""
+    increase with map capacity on the fixture; one winner exists.
+    Asserted on the raw scoreboard; the registered entry surfaces the
+    same contract as a hashable verdict row."""
+    from sparkml_som_spark.operators.som_queries import som_grid_scoreboard
+
     reg = _registry()
-    rows = sorted(
-        reg["som_grid_search"].fn(spark, SF).collect(), key=lambda r: r["n_cells"]
-    )
+    rows = sorted(som_grid_scoreboard(spark, SF), key=lambda r: r[2])
     assert len(rows) == 3
-    costs = [r["quant_error"] for r in rows]
+    costs = [r[3] for r in rows]
     assert costs == sorted(costs, reverse=True), costs
     best = min(costs)
-    winners = [r for r in rows if r["is_best"]]
-    assert all(r["quant_error"] == best for r in winners)
+    winners = [r for r in rows if r[4]]
+    assert all(r[3] == best for r in winners)
     assert len(winners) >= 1
+    verdict = reg["som_grid_search"].fn(spark, SF).collect()
+    assert len(verdict) == 1
+    v = verdict[0]
+    assert (
+        v["n_candidates"],
+        v["n_best"],
+        v["best_is_min_qe"],
+        v["n_invalid_qe"],
+    ) == (3, 1, True, 0)
 
 
 def test_ewma_fold_python_replay(spark):
