@@ -26,7 +26,12 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def materialize_small(df: DataFrame, cleanup: tuple = ()) -> DataFrame:
+_MATERIALIZE_SMALL_CAP = 100_000
+
+
+def materialize_small(
+    df: DataFrame, cleanup: tuple = (), max_rows: int = _MATERIALIZE_SMALL_CAP
+) -> DataFrame:
     """Collect a SMALL result, release held resources (persisted
     DataFrames / broadcasts), and return an equivalent fresh DataFrame.
 
@@ -35,9 +40,22 @@ def materialize_small(df: DataFrame, cleanup: tuple = ()) -> DataFrame:
     collects after we return, so there is no later unpersist point).
     Only use when the result is PROVABLY bounded (grid cells, top-k) —
     it pins the result on the driver; for per-doc / per-pair results use
-    `materialize_distributed`."""
+    `materialize_distributed`.
+
+    Boundedness is ENFORCED, not assumed: the collect goes through
+    ``limit(max_rows + 1)`` so an accidentally-unbounded caller fails
+    fast with a clear error after shipping at most max_rows + 1 rows to
+    the driver — it cannot OOM the driver first.  (When the result fits
+    the cap, ``limit`` returns the complete set, so the returned
+    DataFrame is value-identical to ``df``.)"""
     spark = df.sparkSession
-    rows = df.collect()
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        _release(cleanup)
+        raise ValueError(
+            f"materialize_small: result exceeds the {max_rows}-row bound; "
+            "use materialize_distributed for unbounded outputs"
+        )
     _release(cleanup)
     return spark.createDataFrame(rows, df.schema)
 
@@ -124,38 +142,57 @@ def register(name: str, sql: str | None = None, desc: str = ""):
 # accruing driver verdicts: auc_urgent_order_price (exact Mann-Whitney
 # AUC over bounded score bands) and kappa_langid_agreement (which also
 # re-exercises the full langid pipeline as its prediction stage).
+# Round-6 rotation: fourteen slots green BOTH r4+r5 (som_count_invariant,
+# som_transform_integrity, window_analytic_suite,
+# dedup_connected_components, variant_json_events, map_json_keys_events,
+# sessionize_lag_gaps, upsert_scd2_orders, grouped_map_ols_per_source,
+# text_token_stats, text_langid_ngram, stream_tumbling_window,
+# stream_dedup_exact, stream_static_enrich — all still swept by the
+# local gate) went to never-driver-sampled entries: the six formerly
+# rows-only SOM/ML entries upgraded to invariant oracles this round
+# (som_hex_occupancy, som_umatrix, som_topographic_error,
+# som_grid_search, embedding_pca_variance, stream_som_inference) so
+# their new full-hash form gets a driver verdict immediately, plus
+# eight r5 analytics-wave operators that had never occupied a slot
+# (gini_revenue_concentration and curriculum_phases also re-exercise
+# the round-6 persist-based distributed_global_rank under the driver's
+# eye; psi_value_drift, ratio_metric_delta_ab, survival_km_purchase,
+# benford_first_digit_audit, cohort_ltv_matrix, funnel_stage_latency).
+# som_cluster_summary / som_quantization_error / text_som_topics keep
+# their existing slots — their upgrade from rows-only to full oracle
+# is itself the first-time verdict the rotation exists to collect.
 _PRIORITY: tuple[str, ...] = (
     "som_cluster_summary",
     "som_quantization_error",
-    "som_count_invariant",
-    "som_transform_integrity",
+    "som_hex_occupancy",
+    "som_umatrix",
     "triangle_count_copurchase",
     "ann_ivf_som",
     "ann_lsh_hyperplane",
     "decayed_activity_counts",
     "retention_cohort_matrix",
     "rolling_active_users",
-    "window_analytic_suite",
-    "dedup_connected_components",
+    "som_topographic_error",
+    "som_grid_search",
     "funnel_conversion_events",
     "pipeline_training_manifest",
     "shard_assignment_balanced",
     "countmin_heavy_hitters",
     "auc_urgent_order_price",
     "corpus_mixture_weights",
-    "variant_json_events",
+    "embedding_pca_variance",
     "pagerank_nation_flows",
     "media_feature_pipeline",
     "length_trim_quantile",
-    "map_json_keys_events",
+    "stream_som_inference",
     "source_python_stream_datasource",
-    "sessionize_lag_gaps",
-    "upsert_scd2_orders",
-    "grouped_map_ols_per_source",
+    "gini_revenue_concentration",
+    "curriculum_phases",
+    "psi_value_drift",
     "pmi_term_pairs",
-    "text_token_stats",
+    "ratio_metric_delta_ab",
     "kappa_langid_agreement",
-    "text_langid_ngram",
+    "survival_km_purchase",
     "pack_greedy_capacity",
     "constraint_check_orders",
     "bitmap_distinct_users",
@@ -169,11 +206,11 @@ _PRIORITY: tuple[str, ...] = (
     "zorder_layout_events",
     "ohlc_daily_event_value",
     "negative_sampling_pairs",
-    "stream_tumbling_window",
+    "benford_first_digit_audit",
     "stream_interval_join",
-    "stream_dedup_exact",
+    "cohort_ltv_matrix",
     "stream_stateful_profile",
-    "stream_static_enrich",
+    "funnel_stage_latency",
     # continuity keeper: a representative TPC-H row stays driver-visible
     "q1_pricing_summary",
 )
