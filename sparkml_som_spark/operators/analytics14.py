@@ -77,7 +77,7 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows over the cluster-membership table — candidate-pair scale,
     orders of magnitude below the corpus.
     """
-    from sparkml_som_spark.operators.registry import materialize_small
+    from sparkml_som_spark.operators.registry import materialize_distributed
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
     handles: list = []
@@ -104,7 +104,10 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         (F.count(F.lit(1)) - 1).alias("n_dropped"),
     )
-    return materialize_small(out)
+    # per-CLUSTER output: grows with the corpus (near-dup cluster count
+    # is corpus-derived, not grid/top-k bounded), so pin it on the
+    # executors — nothing here needs the rows on the driver
+    return materialize_distributed(out)
 
 
 # --------------------------------------------------------------------------

@@ -56,7 +56,7 @@ _HIST_WIDTH = 25.0  # events.value spans ~[0, 500) -> ~20 bins
 
 
 def distributed_global_rank(
-    df: DataFrame, sort_cols: list, n_parts: int = 8, cleanup: list | None = None
+    df: DataFrame, sort_cols: list, n_parts: int = 8, *, cleanup: list
 ) -> DataFrame:
     """Append a 0-based global `rank` column under the given total order
     WITHOUT a single-task window.
@@ -96,11 +96,13 @@ def distributed_global_rank(
         .sortWithinPartitions(*sort_cols)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    if cleanup is not None:
-        # hand the cache handle back so the caller can release it via
-        # materialize_small(..., cleanup=...) once its bounded result
-        # is collected — otherwise the pinned blocks outlive the query
-        cleanup.append(parted)
+    # hand the cache handle back so the caller can release it via
+    # materialize_small(..., cleanup=...) once its bounded result is
+    # collected — otherwise the pinned blocks outlive the query.
+    # `cleanup` is REQUIRED (keyword-only, no default): every caller
+    # must take the handle, so a forgotten release is visible at the
+    # call site instead of silently leaking executor memory.
+    cleanup.append(parted)
 
     counts = {
         r["pid"]: r["n"]

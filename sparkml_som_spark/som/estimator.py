@@ -410,6 +410,7 @@ class SOM(Estimator, SOMParams, DefaultParamsWritable, DefaultParamsReadable):
                 blocks = blocks.coalesce(target)
             blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
 
+        n_samples_trained = -1
         while it < max_iter and not converged:
             temp = K.temperature(it, max_iter, t_max, t_min, decay)
             if local_blocks is not None:
@@ -460,6 +461,10 @@ class SOM(Estimator, SOMParams, DefaultParamsWritable, DefaultParamsReadable):
             converged = K.max_movement2(codebook, new_codebook) <= tol * tol
             codebook = new_codebook
             history.append(cost)
+            # conservation anchor: every BMU assignment lands in exactly
+            # one cell, so the per-cell count total IS the row count the
+            # distributed aggregation consumed this iteration
+            n_samples_trained = int(counts.sum())
             it += 1
 
         model = SOMModel(prototypes=codebook)
@@ -484,6 +489,7 @@ class SOM(Estimator, SOMParams, DefaultParamsWritable, DefaultParamsReadable):
             temperature_decay=decay,
             training_cost=history[-1] if history else float("nan"),
             objective_history=history,
+            n_samples=n_samples_trained,
         )
         if blocks is not None:
             blocks.unpersist()

@@ -23,6 +23,10 @@ class SOMTrainingSummary:
     temperature_decay: str
     training_cost: float
     objective_history: list[float] = field(default_factory=list)
+    # rows the final training aggregation actually consumed (sum of
+    # per-cell BMU counts) — a data-derived conservation anchor for
+    # oracle checks; -1 when no iteration ran (maxIter=0)
+    n_samples: int = -1
 
     @property
     def iterations(self) -> int:

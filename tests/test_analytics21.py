@@ -74,8 +74,14 @@ def test_som_grid_search_invariants(spark):
     assert costs == sorted(costs, reverse=True), costs
     best = min(costs)
     winners = [r for r in rows if r[4]]
-    assert all(r[3] == best for r in winners)
-    assert len(winners) >= 1
+    # the smaller-map tiebreak is applied on the scoreboard itself:
+    # EXACTLY one is_best row, and it is the smallest-cell min-QE row
+    assert len(winners) == 1
+    assert winners[0][3] == best
+    assert winners[0][2] == min(r[2] for r in rows if r[3] == best)
+    # every candidate fit consumed the full table
+    n_emb = len(set(r[5] for r in rows))
+    assert n_emb == 1 and rows[0][5] > 0
     verdict = reg["som_grid_search"].fn(spark, SF).collect()
     assert len(verdict) == 1
     v = verdict[0]
@@ -85,6 +91,7 @@ def test_som_grid_search_invariants(spark):
         v["best_is_min_qe"],
         v["n_invalid_qe"],
     ) == (3, 1, True, 0)
+    assert v["n_train_rows"] == rows[0][5]
 
 
 def test_ewma_fold_python_replay(spark):

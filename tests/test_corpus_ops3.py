@@ -79,12 +79,15 @@ def test_distributed_global_rank_matches_window(spark, lengths, n_parts):
     df = spark.createDataFrame(
         [(i, v) for i, v in enumerate(lengths)], "id long, v long"
     )
+    held: list = []
     got = {
         r["id"]: r["rank"]
         for r in distributed_global_rank(
-            df, [F.col("v").desc(), F.col("id").asc()], n_parts=n_parts
+            df, [F.col("v").desc(), F.col("id").asc()], n_parts=n_parts, cleanup=held
         ).collect()
     }
+    for h in held:  # 10 hypothesis examples x persist would leak cache
+        h.unpersist()
     w = Window.orderBy(F.col("v").desc(), F.col("id").asc())
     want = {
         r["id"]: r["rank"] - 1

@@ -62,7 +62,7 @@ def test_som_cell_quantization_view(spark, n_emb):
         assert 0.0 <= r["avg_d2"] <= r["max_d2"] + 1e-9
 
 
-def test_som_umatrix_verdict_and_cells(spark, registry):
+def test_som_umatrix_verdict_and_cells(spark, registry, n_emb):
     r = registry["som_umatrix"].fn(spark, SF).collect()[0]
     assert (
         r["n_cells"],
@@ -70,6 +70,9 @@ def test_som_umatrix_verdict_and_cells(spark, registry):
         r["n_asymmetric_pairs"],
         r["n_invalid_u"],
     ) == (25, 80, 0, 0)
+    # the data-derived anchor: the final training aggregation consumed
+    # exactly the table's rows
+    assert r["n_train_rows"] == n_emb
     from sparkml_som_spark.operators.som_queries import som_umatrix_cells
 
     cells = som_umatrix_cells(spark, SF).collect()

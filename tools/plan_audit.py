@@ -94,7 +94,13 @@ def fingerprint(plan: str) -> dict[str, int]:
         ),
         "wscg_spans": len(re.findall(r"WholeStageCodegen", plan)),
         "inmemory_scans": nodes("InMemoryTableScan"),
-        "sorts": nodes("Sort"),
+        # standalone Sort operators only — the bare "Sort" pattern also
+        # matched SortMergeJoin/SortAggregate headers, conflating a
+        # join/agg strategy change with an added sort in the diff
+        # (renamed from r06's "sorts" key; the differ compares only
+        # keys present in both rounds, so the rename doesn't spray
+        # spurious diffs)
+        "sort_ops": nodes(r"Sort(?!MergeJoin|Aggregate)"),
     }
 
 
@@ -151,9 +157,9 @@ def main() -> int:
                     if not old:
                         continue
                     moved = {
-                        k: [old.get(k, 0), v]
+                        k: [old[k], v]
                         for k, v in fp.items()
-                        if old.get(k, 0) != v
+                        if k in old and old[k] != v
                     }
                     if moved:
                         diff[name] = moved
