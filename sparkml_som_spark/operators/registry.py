@@ -161,29 +161,53 @@ def register(name: str, sql: str | None = None, desc: str = ""):
 # som_cluster_summary / som_quantization_error / text_som_topics keep
 # their existing slots — their upgrade from rows-only to full oracle
 # is itself the first-time verdict the rotation exists to collect.
+# Round-7 rotation: eighteen slots green BOTH r5+r6
+# (triangle_count_copurchase, decayed_activity_counts,
+# retention_cohort_matrix, rolling_active_users,
+# funnel_conversion_events, countmin_heavy_hitters,
+# auc_urgent_order_price, corpus_mixture_weights, pagerank_nation_flows,
+# length_trim_quantile, kappa_langid_agreement, constraint_check_orders,
+# bitmap_distinct_users, weighted_sample_docs, histogram_equidepth_prices,
+# basket_lift_brand_pairs, ohlc_daily_event_value,
+# negative_sampling_pairs — all still swept by the local gate) went to
+# never-driver-sampled entries: the full round-4 streaming family
+# (stream_sliding_window, stream_session_window,
+# stream_incremental_batches, stream_incremental_dedup_index,
+# stream_ohlc_bars — the batch OHLC twin rotates out as its stream twin
+# rotates in — stream_countmin_merge, source_python_stream_writer), the
+# interval-concurrency backlog (open_orders_backlog), dedup resolution
+# just reworked onto materialize_distributed (dedup_canonical_pick)
+# plus fuzzy_match_customers, the skew toolkit
+# (skew_salted_join_segments, join_key_skew_audit), TPC-H depth
+# (q8_market_share, q13_order_count_distribution), partition-pruned /
+# bucketed sinks (dpp_partitioned_fact_join, sink_bucketed_join_revenue),
+# and model-eval (ndcg_label_retrieval, cusum_drift_revenue).
+# som_umatrix / som_grid_search keep their slots: their oracles gained a
+# data-derived n_train_rows anchor this round and the new form needs a
+# driver verdict.
 _PRIORITY: tuple[str, ...] = (
     "som_cluster_summary",
     "som_quantization_error",
     "som_hex_occupancy",
     "som_umatrix",
-    "triangle_count_copurchase",
+    "stream_sliding_window",
     "ann_ivf_som",
     "ann_lsh_hyperplane",
-    "decayed_activity_counts",
-    "retention_cohort_matrix",
-    "rolling_active_users",
+    "stream_session_window",
+    "stream_incremental_batches",
+    "stream_incremental_dedup_index",
     "som_topographic_error",
     "som_grid_search",
-    "funnel_conversion_events",
+    "stream_ohlc_bars",
     "pipeline_training_manifest",
     "shard_assignment_balanced",
-    "countmin_heavy_hitters",
-    "auc_urgent_order_price",
-    "corpus_mixture_weights",
+    "stream_countmin_merge",
+    "source_python_stream_writer",
+    "open_orders_backlog",
     "embedding_pca_variance",
-    "pagerank_nation_flows",
+    "dedup_canonical_pick",
     "media_feature_pipeline",
-    "length_trim_quantile",
+    "fuzzy_match_customers",
     "stream_som_inference",
     "source_python_stream_datasource",
     "gini_revenue_concentration",
@@ -191,21 +215,21 @@ _PRIORITY: tuple[str, ...] = (
     "psi_value_drift",
     "pmi_term_pairs",
     "ratio_metric_delta_ab",
-    "kappa_langid_agreement",
+    "skew_salted_join_segments",
     "survival_km_purchase",
     "pack_greedy_capacity",
-    "constraint_check_orders",
-    "bitmap_distinct_users",
-    "weighted_sample_docs",
+    "join_key_skew_audit",
+    "q8_market_share",
+    "q13_order_count_distribution",
     "text_som_topics",
     "rag_context_pack",
     "mixture_resample_apply",
-    "histogram_equidepth_prices",
-    "basket_lift_brand_pairs",
+    "dpp_partitioned_fact_join",
+    "sink_bucketed_join_revenue",
     "stream_decayed_counters",
     "zorder_layout_events",
-    "ohlc_daily_event_value",
-    "negative_sampling_pairs",
+    "ndcg_label_retrieval",
+    "cusum_drift_revenue",
     "benford_first_digit_audit",
     "stream_interval_join",
     "cohort_ltv_matrix",
