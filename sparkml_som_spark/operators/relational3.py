@@ -578,6 +578,114 @@ def sessionize_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def two_phase_sessionize(
+    ev: DataFrame,
+    gap_minutes: int = 30,
+    bucket: str = "day",
+) -> DataFrame:
+    """Skew-resilient gap sessionization: identical output to the
+    single-window lag/cumsum sessionizer, but no stage ever holds one
+    user's full event history in a single task.
+
+    `Window.partitionBy(user_id)` is the textbook shape but a hot user
+    (one account with 90% of events — bots, service accounts) funnels
+    its entire history through ONE window task: the skew probe measures
+    5.8x wall at 100x rows for exactly that reason.  Two phases fix the
+    cliff while preserving exact semantics:
+
+    1. LOCAL: sessionize within (user_id, time-bucket) partitions —
+       the hot user's rows split across buckets, so the widest window
+       task is bounded by events-per-bucket, not events-per-user.
+       Pick `bucket` (day default; hour at higher densities) so that
+       bound holds at the target scale.
+    2. MERGE at SESSION level: the same gap rule runs per user over
+       the LOCAL SESSIONS (rows = sessions, not events — smaller by
+       the average session size), merging exactly the bucket-boundary-
+       adjacent pairs; the running sum of merge flags reproduces the
+       event-level session ordinal exactly.
+
+    Output: (user_id, sess_id, n_events, dur_s) with sess_id the
+    1-based per-user session ordinal — bit-identical to
+    `sessionize_lag_gaps` (the registered entry shares its oracle)."""
+    gap = F.expr(f"INTERVAL {gap_minutes} MINUTES")
+    bucketed = ev.withColumn("bkt", F.date_trunc(bucket, F.col("ts")))
+
+    # phase 1: local sessions inside each (user, bucket).  This is the
+    # ONLY stage that touches event-level rows; the map-side partial
+    # aggregation below collapses them to session-level before any
+    # further shuffle, so exactly one wide exchange sees the raw data.
+    w1 = Window.partitionBy("user_id", "bkt").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w1)
+    new_local = F.when(prev.isNull() | (F.col("ts") > prev + gap), 1).otherwise(0)
+    local = bucketed.withColumn(
+        "ls", F.sum(new_local).over(w1.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    sess_loc = local.groupBy("user_id", "bkt", "ls").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("s_ts"),
+        F.max("ts").alias("e_ts"),
+    )
+
+    # phase 2: the SAME gap rule, applied at session level.  Local
+    # sessions within a bucket are > gap apart by construction, so
+    # running lag/cumsum over each user's local sessions (ordered by
+    # start time — strictly increasing per user, since bucket
+    # boundaries partition time) merges exactly the boundary-adjacent
+    # pairs and reproduces the event-level running session count.
+    # This window holds sessions, not events: bounded by
+    # events/avg-session-size, and a denser corpus just picks a finer
+    # bucket (hour) to keep phase 1 bounded too.
+    w2 = Window.partitionBy("user_id").orderBy("s_ts", "bkt", "ls")
+    prev_e = F.lag("e_ts").over(w2)
+    new_glob = F.when(prev_e.isNull() | (F.col("s_ts") > prev_e + gap), 1).otherwise(0)
+    stitched = sess_loc.withColumn(
+        "sess_id",
+        F.sum(new_glob).over(w2.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return stitched.groupBy("user_id", "sess_id").agg(
+        F.sum("n_events").alias("n_events"),
+        (F.unix_timestamp(F.max("e_ts")) - F.unix_timestamp(F.min("s_ts"))).alias(
+            "dur_s"
+        ),
+    )
+
+
+@register(
+    "sessionize_two_phase",
+    sql="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                      OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts,
+               CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+        FROM flagged
+    )
+    SELECT user_id, sess_id, COUNT(*) AS n_events,
+           date_diff('second', MIN(ts), MAX(ts)) AS dur_s
+    FROM sess
+    GROUP BY 1, 2
+    """,
+    desc="skew-resilient two-phase sessionization (per-bucket local sessions + bucket-boundary merge); oracle = the single-window lag/cumsum form, results identical",
+)
+def sessionize_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`two_phase_sessionize` over the events table.  The oracle is the
+    SAME SQL as `sessionize_lag_gaps` — two independent algorithms
+    (single global window vs bucket-local + boundary merge) must
+    produce identical sessions, so any stitch bug (lost merge, off-by-
+    one offset, boundary tie) breaks the value hash.  Scale shape:
+    widest window task is bounded by events-per-(user, day), and the
+    merge/offset windows run over calendar-bounded bucket rows — see
+    the hot-user skew probe (SCALE.md) for the measured contrast with
+    the single-window form."""
+    return two_phase_sessionize(load_table(spark, sf_dir, "events"))
+
+
 @register(
     "set_except_all_qty",
     sql="""

@@ -131,6 +131,61 @@ def test_sessionize_conserves_events_and_durations(spark, registry):
     assert all(r["dur_s"] == 0 for r in rows if r["n_events"] == 1)
 
 
+def test_two_phase_sessionize_equals_single_window(spark, registry):
+    """The skew-resilient two-phase sessionizer must reproduce the
+    single-window lag/cumsum sessions EXACTLY — on the real events
+    table (both registered entries share one oracle SQL) and on a
+    synthetic 90%-hot-user corpus with sessions spanning day-bucket
+    boundaries (the merge path the events table may not exercise)."""
+    lag_rows = sorted(
+        tuple(r) for r in registry["sessionize_lag_gaps"].fn(spark, SF).collect()
+    )
+    tp_rows = sorted(
+        tuple(r) for r in registry["sessionize_two_phase"].fn(spark, SF).collect()
+    )
+    assert lag_rows == tp_rows
+
+    from pyspark.sql import Window
+
+    from sparkml_som_spark.operators.relational3 import two_phase_sessionize
+
+    # hot user owns 90% of events; 20-min spacing crosses midnight
+    # boundaries mid-session (merge path), with a >30-min break every
+    # 50 ids (many sessions)
+    i = F.col("id")
+    ev = spark.range(4000).select(
+        i.alias("event_id"),
+        F.when(i % 10 < 9, F.lit(7)).otherwise(100 + i % 13).alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + i * 1200 + (i / 50).cast("long") * 2400
+        ).alias("ts"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    flag = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    want = (
+        ev.withColumn(
+            "sess_id",
+            F.sum(flag).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+        )
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
+                "dur_s"
+            ),
+        )
+    )
+    got = two_phase_sessionize(ev)
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    # the synthetic really does cross bucket boundaries mid-session:
+    # otherwise this test wouldn't cover the merge path
+    n_days = ev.select(F.date_trunc("day", "ts")).distinct().count()
+    assert n_days > 1
+
+
 def test_gapfill_spine_is_complete(spark, registry):
     rows = registry["gapfill_daily_revenue"].fn(spark, SF).collect()
     assert len(rows) == 90  # Jan 1 .. Mar 31 1995, no gaps
