@@ -1,0 +1,133 @@
+"""Analytics operators, round 7 wave: cross-source contamination
+matrix and per-source near-dup rates — the dataset-mixing diagnostics
+a corpus curator reads before setting mixture weights (a source that
+heavily duplicates another should not be double-counted by the
+mixture; the reference pipeline has no analog, this is LLM-data
+tooling on top of the dedup machinery).
+
+Scale discipline: both entries reuse the capped inverted-index
+candidate generation (`shingle_pairs_with_jaccard` — never all-pairs,
+hot shingles DF-capped; skew-probed in SCALE.md round 7).  The pair
+set is orders of magnitude below the corpus; joining doc->source onto
+it is a pair-sized shuffle (no broadcast hint — the doc-side is
+corpus-sized, AQE picks the strategy), and both outputs aggregate to
+bounded grids (sources^2 cells / sources rows), so the driver only
+ever sees the grid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkml_som_spark.operators.dedup import (
+    _NGRAM_MAX_DF,
+    _NGRAM_ORACLE,
+    shingle_pairs_with_jaccard,
+)
+from sparkml_som_spark.operators.registry import materialize_small, register
+from sparkml_som_spark.sources import load_table
+
+_ND_PAIRS = _NGRAM_ORACLE.format(thr=0.8, max_df=_NGRAM_MAX_DF)
+
+
+@register(
+    "cross_source_overlap",
+    sql=f"""
+    WITH nd AS (
+        SELECT * FROM ({_ND_PAIRS})
+    )
+    SELECT LEAST(da.source, db.source)    AS source_a,
+           GREATEST(da.source, db.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT)       AS n_pairs,
+           ROUND(AVG(jaccard), 4)         AS avg_jaccard
+    FROM nd
+    JOIN documents da ON da.doc_id = nd.a_id
+    JOIN documents db ON db.doc_id = nd.b_id
+    GROUP BY 1, 2
+    """,
+    desc="cross-source contamination matrix: near-dup pair counts + mean Jaccard per unordered source pair",
+)
+def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources duplicate which: every near-dup pair (word-3-gram
+    Jaccard >= 0.8, the shared DF-capped index) attributed to its
+    unordered (source, source) cell.  The diagonal is within-source
+    redundancy; off-diagonal cells are cross-source contamination —
+    the input a mixture-weight pass needs to avoid double-counting a
+    mirrored source.  Output is bounded by sources^2."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    handles: list = []
+    pairs = shingle_pairs_with_jaccard(
+        docs, n=3, max_df=_NGRAM_MAX_DF, cleanup=handles
+    ).where(F.col("jaccard_raw") >= 0.8)
+    src = docs.select("doc_id", "source")
+    attributed = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("a_id"), F.col("source").alias("sa")),
+            "a_id",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("b_id"), F.col("source").alias("sb")),
+            "b_id",
+        )
+    )
+    out = (
+        attributed.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            F.round("jaccard_raw", 4).alias("jaccard"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("jaccard"), 4).alias("avg_jaccard"),
+        )
+    )
+    return materialize_small(out, cleanup=tuple(handles))
+
+
+@register(
+    "near_dup_rate_by_source",
+    sql=f"""
+    WITH nd AS (
+        SELECT * FROM ({_ND_PAIRS})
+    ), involved AS (
+        SELECT a_id AS doc_id FROM nd UNION SELECT b_id FROM nd
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT)                          AS n_docs,
+           CAST(COUNT(i.doc_id) AS BIGINT)                   AS n_near_dup,
+           ROUND(COUNT(i.doc_id) * 1.0 / COUNT(*), 4)        AS dup_rate
+    FROM documents d LEFT JOIN involved i ON i.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+    desc="per-source near-dup exposure: docs involved in any >=0.8-Jaccard pair, as a rate of the source",
+)
+def near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication exposure — the curator's one-line health
+    number per source (a source with dup_rate ~1 is a mirror and should
+    be dropped or heavily down-weighted, not cleaned pair-by-pair).
+    `involved` is the distinct union of both pair sides (pair-scale);
+    the left join back onto documents preserves zero-dup sources."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    handles: list = []
+    pairs = shingle_pairs_with_jaccard(
+        docs, n=3, max_df=_NGRAM_MAX_DF, cleanup=handles
+    ).where(F.col("jaccard_raw") >= 0.8)
+    involved = (
+        pairs.select(F.col("a_id").alias("doc_id"))
+        .union(pairs.select("b_id"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    out = (
+        docs.select("doc_id", "source")
+        .join(involved, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("hit").alias("n_near_dup"),
+            F.round(F.count("hit") / F.count(F.lit(1)), 4).alias("dup_rate"),
+        )
+    )
+    return materialize_small(out, cleanup=tuple(handles))

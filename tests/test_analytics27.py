@@ -1,0 +1,48 @@
+"""analytics27 mechanics: the cross-source overlap matrix must be
+consistent with the raw near-dup pair set, and per-source dup rates
+must account for every document exactly once."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkml_som_spark.operators.registry import load_all
+from sparkml_som_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def test_cross_source_overlap_consistent_with_pairs(spark, registry):
+    """Sum of matrix cells == number of near-dup pairs; every cell is
+    canonically ordered (source_a <= source_b) with a valid Jaccard."""
+    from sparkml_som_spark.operators.dedup import _NGRAM_MAX_DF, shingle_pairs_with_jaccard
+
+    docs = load_table(spark, SF, "documents")
+    held: list = []
+    n_pairs = (
+        shingle_pairs_with_jaccard(docs, n=3, max_df=_NGRAM_MAX_DF, cleanup=held)
+        .where(F.col("jaccard_raw") >= 0.8)
+        .count()
+    )
+    for h in held:
+        h.unpersist()
+    cells = registry["cross_source_overlap"].fn(spark, SF).collect()
+    assert sum(c["n_pairs"] for c in cells) == n_pairs
+    for c in cells:
+        assert c["source_a"] <= c["source_b"]
+        assert 0.8 <= c["avg_jaccard"] <= 1.0
+
+
+def test_near_dup_rate_accounts_every_doc(spark, registry):
+    rows = registry["near_dup_rate_by_source"].fn(spark, SF).collect()
+    docs = load_table(spark, SF, "documents")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for r in rows:
+        assert 0 <= r["n_near_dup"] <= r["n_docs"]
+        assert abs(r["dup_rate"] - round(r["n_near_dup"] / r["n_docs"], 4)) < 1e-9
