@@ -381,15 +381,23 @@ def embedding_pca_ratios(spark: SparkSession, sf_dir: str) -> list:
     "embedding_pca_variance",
     # the ratios themselves are eigen outputs, but their spectral
     # contract is hashable: 8 components, each ratio in [0, 1],
-    # non-increasing (eigenvalues sorted), and the k<d partial sum
-    # cannot exceed 1
+    # non-increasing (eigenvalues sorted), the k<d partial sum cannot
+    # exceed 1 — and the data-derived anchor: the ratio DENOMINATOR
+    # (total variance = trace of the covariance = sum of per-dimension
+    # population variances) is directly recomputable by DuckDB from
+    # the parquet, so a hardcoded verdict row cannot satisfy the hash
     sql="""
     SELECT CAST(8 AS INT)    AS n_components,
            CAST(0 AS BIGINT) AS n_out_of_range,
            TRUE              AS ratios_nonincreasing,
-           TRUE              AS total_at_most_1
+           TRUE              AS total_at_most_1,
+           (SELECT ROUND(SUM(vp), 4) FROM (
+               SELECT i, var_pop(e) AS vp FROM (
+                   SELECT unnest(embedding) AS e,
+                          unnest(range(1, 1 + len(embedding))) AS i
+                   FROM embeddings) GROUP BY i)) AS total_variance
     """,
-    desc="PCA explained-variance profile (pyspark.ml integration), pinned by spectral-contract invariants under full oracle",
+    desc="PCA explained-variance profile (pyspark.ml integration), pinned by spectral-contract invariants + the DuckDB-recomputed trace anchor under full oracle",
 )
 def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dimensionality check run before choosing an ANN index or
@@ -398,14 +406,29 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(d^2), independent of row count.  The eigen outputs are not
     SQL-derivable, but the spectrum's contract is: exactly k=8 ratios,
     each in [0, 1], sorted non-increasing (covariance eigenvalues),
-    partial sum <= 1 (+fp slack).  A Gramian aggregation bug or a
-    non-PSD covariance (NaN embeddings) breaks the hash.  Raw profile:
+    partial sum <= 1 (+fp slack).  `total_variance` is the data-derived
+    anchor: the explained-variance ratios' denominator (covariance
+    trace), recomputed here as one posexplode + per-dimension var_pop
+    aggregate (map-side combined, d-row shuffle) and independently by
+    DuckDB over the parquet.  A Gramian aggregation bug or a non-PSD
+    covariance (NaN embeddings) breaks the hash.  Raw profile:
     `embedding_pca_ratios`."""
     ev = embedding_pca_ratios(spark, sf_dir)
     n_oob = sum(1 for v in ev if not (-1e-12 <= v <= 1.0 + 1e-12))
     noninc = all(a >= b - 1e-12 for a, b in zip(ev, ev[1:]))
     total_ok = sum(ev) <= 1.0 + 1e-9
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    tv = (
+        emb.select(
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "v")
+        )
+        .groupBy("i")
+        .agg(F.var_pop("v").alias("vp"))
+        .agg(F.round(F.sum("vp"), 4).alias("tv"))
+        .collect()[0]["tv"]
+    )
     return spark.createDataFrame(
-        [(len(ev), n_oob, bool(noninc), bool(total_ok))],
-        "n_components int, n_out_of_range long, ratios_nonincreasing boolean, total_at_most_1 boolean",
+        [(len(ev), n_oob, bool(noninc), bool(total_ok), float(tv))],
+        "n_components int, n_out_of_range long, ratios_nonincreasing boolean, "
+        "total_at_most_1 boolean, total_variance double",
     )

@@ -100,6 +100,8 @@ def test_embedding_pca_verdict_and_profile(spark, registry):
     assert r["n_out_of_range"] == 0
     assert r["ratios_nonincreasing"] is True
     assert r["total_at_most_1"] is True
+    # the trace anchor is a real variance total, not a placeholder
+    assert r["total_variance"] > 0
     from sparkml_som_spark.operators.similarity import embedding_pca_ratios
 
     ev = embedding_pca_ratios(spark, SF)
