@@ -207,6 +207,59 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_distributed(out, cleanup=tuple(handles))
 
 
+def minhash_band_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) LSH bucket rows: 64 seeded xxhash64
+    min-hashes per doc, banded 16 x 4 (band signature = hash of the
+    band's 4 consecutive min-hashes).  This IS the band index a
+    production dedup service persists, bucketed by (band, sig) — shared
+    by the full-corpus and incremental entries."""
+    n_hashes, bands, rows_per_band = 64, 16, 4
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(word_tokens(F.col("text")), 3)).alias("s")
+    )
+    minhashes = sh.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}") for i in range(n_hashes)]
+    )
+    band_cols = [
+        F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = minhashes.select("doc_id", *band_cols)
+    return banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("sig"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.sig")
+
+
+def exact_jaccard_verify(docs: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact word-3-gram Jaccard >= 0.8 over a candidate-pair set:
+    (a_id, b_id) -> (a_id, b_id, jaccard).  Verification joins the
+    per-doc shingle SETS onto the (small) candidate set only."""
+    sh_sets = docs.select(
+        "doc_id", word_shingles(word_tokens(F.col("text")), 3).alias("sh_set")
+    )
+    return (
+        cand.join(sh_sets.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sh_set", "sh_a"), "a_id")
+        .join(sh_sets.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sh_set", "sh_b"), "b_id")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard_raw",
+            F.col("common") / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
+        )
+        .where(F.col("jaccard_raw") >= 0.8)
+        .select("a_id", "b_id", F.round("jaccard_raw", 4).alias("jaccard"))
+    )
+
+
 @register(
     "dedup_minhash_lsh",
     sql=_NGRAM_ORACLE.format(thr=0.8, max_df=_NGRAM_MAX_DF),
@@ -224,34 +277,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     all pairs — this is the 100 TB path where the full inverted index
     would skew.
     """
-    n_hashes, bands, rows_per_band = 64, 16, 4
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    sh = docs.select(
-        "doc_id", F.explode(word_shingles(word_tokens(F.col("text")), 3)).alias("s")
-    )
-    # 64 min-hashes: min over shingles of xxhash64(shingle, seed_i)
-    minhashes = sh.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}") for i in range(n_hashes)]
-    )
-    # band signature = hash of the band's r consecutive minhashes
-    band_cols = [
-        F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
-            f"band{b}"
-        )
-        for b in range(bands)
-    ]
-    banded = minhashes.select("doc_id", *band_cols)
-    buckets = banded.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("sig"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.sig")
+    buckets = minhash_band_buckets(docs)
     cand = (
         buckets.alias("x")
         .join(
@@ -263,21 +290,55 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
         .distinct()
     )
-    # verify candidates with exact Jaccard
-    sh_sets = docs.select(
-        "doc_id", word_shingles(word_tokens(F.col("text")), 3).alias("sh_set")
-    )
-    verified = (
-        cand.join(sh_sets.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sh_set", "sh_a"), "a_id")
-        .join(sh_sets.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sh_set", "sh_b"), "b_id")
-        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard_raw",
-            F.col("common") / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
+    return exact_jaccard_verify(docs, cand)
+
+
+_INCR_SPLIT = 250  # doc_id < 250 = indexed corpus, >= 250 = delta batch
+
+
+@register(
+    "dedup_incremental_minhash",
+    # the exhaustive inverted-index oracle, restricted to pairs that
+    # involve a delta doc — with a_id < b_id, that is exactly b_id >=
+    # the split (if a_id is delta, so is b_id)
+    sql=f"""
+    SELECT * FROM ({_NGRAM_ORACLE.format(thr=0.8, max_df=_NGRAM_MAX_DF)})
+    WHERE b_id >= {_INCR_SPLIT}
+    """,
+    desc="incremental near-dup detection: delta batch probes the persisted MinHash band index (+ itself), exact-Jaccard verified",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL shape of near-dup detection — the MinHash twin
+    of `dedup_incremental_exact`: a new ingest batch is checked against
+    the existing corpus's persisted band index plus itself, WITHOUT
+    re-pairing the existing corpus (existing-vs-existing pairs are
+    never regenerated).  At 100 TB the band index lives as a table
+    bucketed by (band, sig); the delta's bucket rows are small, so the
+    probe join broadcasts or shuffles only the delta side, and the
+    exact-Jaccard verification touches candidate pairs only.  Split:
+    doc_id < {_INCR_SPLIT} = indexed, >= {_INCR_SPLIT} = delta.  The
+    oracle is the exhaustive inverted-index pair set restricted to
+    pairs involving a delta doc — banded LSH + verification must
+    reproduce it exactly."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    buckets = minhash_band_buckets(docs)
+    index = buckets  # persisted band index of old docs + this batch's rows
+    delta = buckets.where(F.col("doc_id") >= _INCR_SPLIT)
+    cand = (
+        delta.alias("x")
+        .join(
+            index.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.doc_id") != F.col("y.doc_id")),
         )
-        .where(F.col("jaccard_raw") >= 0.8)
+        .select(
+            F.least("x.doc_id", "y.doc_id").alias("a_id"),
+            F.greatest("x.doc_id", "y.doc_id").alias("b_id"),
+        )
+        .distinct()
     )
-    return verified.select("a_id", "b_id", F.round("jaccard_raw", 4).alias("jaccard"))
+    return exact_jaccard_verify(docs, cand)
 
 
 # 60-bit md5-based SimHash: 15 md5 hex chars -> BIGINT is expressible in

@@ -158,3 +158,31 @@ def test_min_label_components_transitive_chain(spark):
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20, 23: 20, 24: 20}
+
+
+def test_incremental_minhash_equals_full_restricted(spark):
+    """The incremental entry (delta probes the band index) must equal
+    the full-corpus LSH result restricted to pairs involving a delta
+    doc — nothing lost by not re-pairing the existing corpus, nothing
+    invented by the least/greatest normalization."""
+    from pyspark.sql import functions as F
+
+    from sparkml_som_spark.operators.registry import load_all
+
+    reg = load_all()
+    SF = "/root/testdata/sf0.001"
+    full = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in reg["dedup_minhash_lsh"].fn(spark, SF).collect()
+    }
+    from sparkml_som_spark.operators.dedup import _INCR_SPLIT
+
+    incr = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in reg["dedup_incremental_minhash"].fn(spark, SF).collect()
+    }
+    want = {p: j for p, j in full.items() if p[1] >= _INCR_SPLIT}
+    assert incr == want
+    # sanity: both delta-vs-base and (if present) delta-vs-delta pairs
+    # survive, and no existing-vs-existing pair leaks in
+    assert all(b >= _INCR_SPLIT for _, b in incr)
