@@ -131,3 +131,65 @@ def near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return materialize_small(out, cleanup=tuple(handles))
+
+
+# --------------------------------------------------------------------------
+# 3. character-bigram language-model logloss per source
+# --------------------------------------------------------------------------
+
+
+@register(
+    "quality_char_bigram_logloss",
+    sql="""
+    WITH t AS (
+        SELECT doc_id, source, lower(text) AS txt FROM documents
+    ), bg AS (
+        SELECT doc_id, source,
+               unnest(list_transform(range(1, length(txt)),
+                                     i -> substr(txt, CAST(i AS INT), 2))) AS b
+        FROM t
+    ), vocab AS (
+        SELECT b, COUNT(*) AS c FROM bg GROUP BY b
+    ), tot AS (SELECT SUM(c) AS n FROM vocab)
+    SELECT bg.source,
+           CAST(COUNT(DISTINCT bg.doc_id) AS BIGINT) AS n_docs,
+           ROUND(AVG(-ln(v.c * 1.0 / (SELECT n FROM tot))), 4) AS avg_logloss
+    FROM bg JOIN vocab v ON v.b = bg.b
+    GROUP BY bg.source
+    """,
+    desc="per-source corpus quality via character-bigram LM cross-entropy (self-trained unigram-of-bigrams model)",
+)
+def quality_char_bigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cheapest language-model quality signal that needs no
+    external model: train bigram statistics ON the corpus itself, then
+    score each source by the mean negative log-probability of its
+    character bigrams — gibberish/binary-ish sources score high,
+    natural text converges to the corpus entropy.  The standard
+    pretraining-corpus triage step between heuristic ratios
+    (`text_quality_score`) and a real LM.
+
+    Scale shape: one explode produces the bigram stream (row count =
+    corpus bytes, the unavoidable lower bound); the model is the
+    bigram->count table, BOUNDED by the character-pair vocabulary
+    (~|charset|^2), so it broadcast-joins back onto the stream; the
+    final aggregate folds to the bounded source grid.  Everything is
+    JVM-side codegen — no Python in the pipeline."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    t = docs.select("doc_id", "source", F.lower(F.col("text")).alias("txt"))
+    bg = t.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("txt") - 1),
+                lambda i: F.col("txt").substr(i, F.lit(2)),
+            )
+        ).alias("b"),
+    )
+    vocab = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    scored = bg.join(F.broadcast(vocab), "b").crossJoin(F.broadcast(total))
+    return scored.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.round(F.avg(-F.log(F.col("c") / F.col("n"))), 4).alias("avg_logloss"),
+    )

@@ -46,3 +46,31 @@ def test_near_dup_rate_accounts_every_doc(spark, registry):
     for r in rows:
         assert 0 <= r["n_near_dup"] <= r["n_docs"]
         assert abs(r["dup_rate"] - round(r["n_near_dup"] / r["n_docs"], 4)) < 1e-9
+
+
+def test_char_bigram_logloss_python_replay(spark, registry):
+    """Per-source logloss must equal a direct Python fold over the
+    same corpus: collect the docs, count bigrams, average -ln p."""
+    import math
+    from collections import Counter, defaultdict
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "source", "text").collect()
+    vocab: Counter = Counter()
+    per_doc = {}
+    for r in docs:
+        t = r["text"].lower()
+        bgs = [t[i : i + 2] for i in range(len(t) - 1)]
+        per_doc[r["doc_id"]] = (r["source"], bgs)
+        vocab.update(bgs)
+    n = sum(vocab.values())
+    sums: dict = defaultdict(lambda: [0.0, 0, set()])
+    for doc_id, (src, bgs) in per_doc.items():
+        for b in bgs:
+            sums[src][0] += -math.log(vocab[b] / n)
+            sums[src][1] += 1
+        sums[src][2].add(doc_id)
+    got = {r["source"]: r for r in registry["quality_char_bigram_logloss"].fn(spark, SF).collect()}
+    assert set(got) == set(sums)
+    for src, (tot, cnt, ids) in sums.items():
+        assert got[src]["n_docs"] == len(ids)
+        assert abs(got[src]["avg_logloss"] - round(tot / cnt, 4)) <= 1e-3
