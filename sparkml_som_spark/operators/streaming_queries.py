@@ -648,3 +648,72 @@ def stream_decayed_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "event_type string, as_of_day date, n_total long, decayed_count double"
     )
+
+
+@register(
+    "stream_left_outer_join",
+    # the oracle encodes the STREAMING semantics, not just the join:
+    # unmatched signups emit nulls only once the global watermark
+    # proves no future click can match.  The watermark is computed per
+    # filtered input (min of the two sides' max event time, minus the
+    # 1 h delay), so the null set is exactly the unmatched signups with
+    # s_ts + 10 min below that watermark — rows younger than the
+    # boundary stay buffered in join state and never reach the sink
+    sql="""
+    WITH s AS (
+        SELECT user_id, event_id AS signup_id, ts AS s_ts
+        FROM events WHERE event_type = 'signup'
+    ), c AS (
+        SELECT user_id AS cu, event_id AS click_id, ts AS c_ts
+        FROM events WHERE event_type = 'click'
+    ), wm AS (
+        SELECT LEAST((SELECT MAX(ts) FROM events WHERE event_type = 'signup'),
+                     (SELECT MAX(ts) FROM events WHERE event_type = 'click'))
+               - INTERVAL 1 HOUR AS w
+    ), m AS (
+        SELECT s.user_id, s.signup_id, c.click_id,
+               CAST(date_diff('second', s.s_ts, c.c_ts) AS BIGINT) AS secs_after
+        FROM s JOIN c ON c.cu = s.user_id
+          AND c.c_ts >= s.s_ts AND c.c_ts < s.s_ts + INTERVAL 10 MINUTE
+    ), un AS (
+        SELECT s.user_id, s.signup_id,
+               CAST(NULL AS BIGINT) AS click_id,
+               CAST(NULL AS BIGINT) AS secs_after
+        FROM s
+        WHERE NOT EXISTS (
+            SELECT 1 FROM c WHERE c.cu = s.user_id
+              AND c.c_ts >= s.s_ts AND c.c_ts < s.s_ts + INTERVAL 10 MINUTE)
+          AND s.s_ts + INTERVAL 10 MINUTE < (SELECT w FROM wm)
+    )
+    SELECT * FROM m UNION ALL SELECT * FROM un
+    """,
+    desc="stream-stream LEFT OUTER interval join: watermark-gated null emission, the eviction boundary itself oracle-audited",
+)
+def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The outer-join semantics Structured Streaming adds on top of the
+    inner interval join: a signup with no click in its 10-minute window
+    still emits — with nulls — but only in the micro-batch whose
+    watermark PROVES no future click can match (AvailableNow runs a
+    trailing zero-data batch precisely so this final eviction fires).
+    The oracle replays the whole contract in SQL: matched rows are the
+    plain interval join, and the null rows are the unmatched signups
+    whose s_ts + window lies strictly below the global watermark
+    (min of the two filtered inputs' max event time, minus the delay) —
+    verified empirically to the row at every SF, so a state-eviction
+    regression, a watermark computed on the wrong input, or a dropped
+    trailing batch breaks the value hash.  At 100 TB the same condition
+    is what bounds the join state: signups older than watermark +
+    window are evicted, matched or not."""
+    from pyspark.sql import functions as F
+
+    from sparkml_som_spark.streaming.windows import interval_join_stream_left
+
+    s_stream, key = _stream_source(spark, sf_dir)
+    c_stream, _ = _stream_source(spark, sf_dir)
+    out = interval_join_stream_left(
+        s_stream.where(F.col("event_type") == "signup"),
+        c_stream.where(F.col("event_type") == "click"),
+    )
+    return _run_to_memory(
+        spark, out, f"sgs_stream_louter_{key}".replace(".", "_"), "append"
+    )

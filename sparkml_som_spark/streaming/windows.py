@@ -130,3 +130,43 @@ def dedup_stream(stream: DataFrame, keys: list[str] | None = None, watermark: st
     """
     keys = keys or ["event_id"]
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def interval_join_stream_left(
+    signups: DataFrame,
+    clicks: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the semantics the inner
+    join can't show: a signup with no click inside `window` must still
+    emit, with nulls, but ONLY once the watermark proves no future
+    click can match (s_ts + window below the global watermark).  Until
+    that proof the row sits in join state; the null row materializes in
+    the micro-batch whose watermark evicts it (Spark runs a trailing
+    zero-data batch under AvailableNow exactly so this eviction
+    happens).  Same two-sided time bound as the inner twin — the state
+    bound AND the null-emission rule come from the same condition."""
+    s = signups.withWatermark("ts", watermark).select(
+        "user_id", F.col("event_id").alias("signup_id"), F.col("ts").alias("s_ts")
+    )
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    return (
+        s.join(
+            c,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("c_ts") >= F.col("s_ts"))
+            & (F.col("c_ts") < F.col("s_ts") + F.expr(f"INTERVAL {window}")),
+            "leftOuter",
+        )
+        .select(
+            "user_id",
+            "signup_id",
+            "click_id",
+            (F.unix_timestamp("c_ts") - F.unix_timestamp("s_ts")).alias("secs_after"),
+        )
+    )

@@ -203,3 +203,59 @@ def test_stream_incremental_dedup_multibatch(spark):
         .collect()
     }
     assert out == want
+
+
+def test_left_outer_join_watermark_gated_nulls(spark):
+    """The left-outer stream join must emit (a) every matched pair and
+    (b) null rows for EXACTLY the unmatched signups whose window upper
+    bound lies below the global watermark (min of the two filtered
+    inputs' max ts, minus the 1 h delay) — younger unmatched signups
+    stay in state and must NOT reach the sink."""
+    from pyspark.sql import functions as F
+
+    from sparkml_som_spark.operators.registry import load_all
+    from sparkml_som_spark.sources import load_table
+
+    reg = load_all()
+    sink = reg["stream_left_outer_join"].fn(spark, SF)
+    got_nulls = {r["signup_id"] for r in sink.where(F.col("click_id").isNull()).collect()}
+    got_matched = {
+        (r["signup_id"], r["click_id"])
+        for r in sink.where(F.col("click_id").isNotNull()).collect()
+    }
+
+    ev = load_table(spark, SF, "events")
+    s = ev.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("event_id").alias("signup_id"), F.col("ts").alias("s_ts")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    cond = (
+        (F.col("cu") == F.col("user_id"))
+        & (F.col("c_ts") >= F.col("s_ts"))
+        & (F.col("c_ts") < F.col("s_ts") + F.expr("INTERVAL 10 MINUTES"))
+    )
+    j = s.join(c, cond, "left")
+    want_matched = {
+        (r["signup_id"], r["click_id"])
+        for r in j.where(F.col("click_id").isNotNull()).collect()
+    }
+    assert got_matched == want_matched
+
+    wm_sig = s.agg(F.max("s_ts")).collect()[0][0]
+    wm_clk = c.agg(F.max("c_ts")).collect()[0][0]
+    wm = min(wm_sig, wm_clk)
+    unmatched = j.where(F.col("click_id").isNull()).select("signup_id", "s_ts").collect()
+    import datetime
+
+    want_nulls = {
+        r["signup_id"]
+        for r in unmatched
+        if r["s_ts"] + datetime.timedelta(minutes=10)
+        < wm - datetime.timedelta(hours=1)
+    }
+    assert got_nulls == want_nulls
+    # the boundary genuinely bites on this fixture: some unmatched
+    # signups must be retained, or the test shows nothing
+    assert len(want_nulls) < len(unmatched)
