@@ -238,3 +238,58 @@ def test_lsh_hyperplane_recall_guard(spark, registry):
     for r in rows:
         assert r["k_returned"] == TOP_K
         assert r["n_outside_bf_top2k"] == 0
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),       # user (few -> dense histories)
+            st.integers(min_value=0, max_value=200_000), # offset seconds (~2.3 days)
+        ),
+        min_size=1,
+        max_size=120,
+    )
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_two_phase_sessionize_property(spark, events):
+    """For ANY event set — duplicate timestamps, bucket-boundary
+    spanning sessions, single-event users — the two-phase sessionizer
+    must equal the single-window lag/cumsum form row for row."""
+    from pyspark.sql import Window
+
+    from sparkml_som_spark.operators.relational3 import two_phase_sessionize
+
+    ev = spark.createDataFrame(
+        [(i, u, 1_700_000_000 + off) for i, (u, off) in enumerate(events)],
+        "event_id long, user_id long, secs long",
+    ).select("event_id", "user_id", F.timestamp_seconds("secs").alias("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    flag = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    want = sorted(
+        tuple(r)
+        for r in (
+            ev.withColumn(
+                "sess_id",
+                F.sum(flag).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+            )
+            .groupBy("user_id", "sess_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias("dur_s"),
+            )
+            .collect()
+        )
+    )
+    got = sorted(tuple(r) for r in two_phase_sessionize(ev).collect())
+    assert got == want
