@@ -539,3 +539,85 @@ def som_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_candidates long, n_best long, best_is_min_qe boolean, "
         "n_invalid_qe long, n_train_rows long",
     )
+
+
+@register(
+    "som_outlier_audit",
+    # the outlier set is model-dependent, but the QUANTILE CONTRACT is
+    # not: flagging rows strictly above their cell's exact p95 caps the
+    # per-cell flag count at floor(0.05 * n_cell) BY DEFINITION of the
+    # discrete percentile, every flagged distance must exceed its
+    # cell's threshold, and the audited row total is the table count
+    # DuckDB recomputes from the parquet
+    sql="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT)        AS n_cells_over_quota,
+           CAST(0 AS BIGINT)        AS n_flags_below_threshold,
+           TRUE                     AS flag_rate_within_5pct
+    FROM embeddings
+    """,
+    desc="SOM anomaly audit: rows beyond their BMU cell's exact p95 distance, pinned by the discrete-quantile quota contract under full oracle",
+)
+def som_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applied anomaly-detection use of the fitted map — the
+    workload a reference user runs after `computeCost`: score every row
+    by its squared distance to its BMU (one kernel pass via
+    distanceCol), set a PER-CELL threshold at the cell's exact p95
+    distance (local thresholds catch outliers that a global cutoff
+    misses in dense cells and over-flags in sparse ones), and audit the
+    flagged set.
+
+    Scale shape: the threshold table is one grouped exact-percentile
+    aggregate folding to the 25-cell grid, broadcast back onto the
+    scored stream for the flag predicate — no second wide shuffle.  At
+    100 TB swap the exact percentile for approx_percentile with a
+    rank-error contract (the `approx_percentile_prices` pattern).
+
+    FULL-hash contract: flagging strictly above the discrete p95 caps
+    each cell's flags at floor(0.05 * n_cell) (quota violations break
+    the hash), every flagged row's distance must exceed its cell's
+    threshold (a broadcast/join slip breaks it), the global flag rate
+    is <= 5%, and the audited total is DuckDB's COUNT(*)."""
+    model, emb = fit_default_som(spark, sf_dir)
+    model.setDistanceCol("d2")
+    preds = None
+    try:
+        preds = model.transform(emb).select("prediction", "d2").persist()
+        thr = preds.groupBy("prediction").agg(
+            F.percentile_approx("d2", 0.95, 2_147_483_647).alias("p95"),
+            F.count(F.lit(1)).alias("n_cell"),
+        )
+        # percentile_approx at max accuracy is EXACT discrete; flag
+        # strictly above it
+        flagged = (
+            preds.join(F.broadcast(thr), "prediction")
+            .withColumn("is_flag", (F.col("d2") > F.col("p95")).cast("int"))
+        )
+        per_cell = flagged.groupBy("prediction").agg(
+            F.sum("is_flag").alias("n_flags"),
+            F.first("n_cell").alias("n_cell"),
+            F.first("p95").alias("p95"),
+            F.min(F.when(F.col("is_flag") == 1, F.col("d2"))).alias("min_flag_d2"),
+        )
+        row = per_cell.agg(
+            F.sum("n_cell").alias("n_rows"),
+            F.count_if(
+                F.col("n_flags") > F.floor(0.05 * F.col("n_cell"))
+            ).alias("n_cells_over_quota"),
+            F.count_if(
+                F.col("min_flag_d2").isNotNull()
+                & (F.col("min_flag_d2") <= F.col("p95"))
+            ).alias("n_flags_below_threshold"),
+            (F.sum("n_flags") <= 0.05 * F.sum("n_cell")).alias(
+                "flag_rate_within_5pct"
+            ),
+        ).collect()[0]
+    finally:
+        if preds is not None:
+            preds.unpersist()
+        model.setDistanceCol("")  # the cached model is shared across queries
+    return spark.createDataFrame(
+        [tuple(row)],
+        "n_rows long, n_cells_over_quota long, n_flags_below_threshold long, "
+        "flag_rate_within_5pct boolean",
+    )

@@ -131,3 +131,11 @@ def test_stream_som_inference_verdict(spark, registry, n_emb):
     r = registry["stream_som_inference"].fn(spark, SF).collect()[0]
     assert r["n_rows"] == n_emb
     assert r["n_cells_mismatched_vs_batch"] == 0
+
+
+def test_som_outlier_audit_quota_contract(spark, registry, n_emb):
+    r = registry["som_outlier_audit"].fn(spark, SF).collect()[0]
+    assert r["n_rows"] == n_emb
+    assert r["n_cells_over_quota"] == 0
+    assert r["n_flags_below_threshold"] == 0
+    assert r["flag_rate_within_5pct"] is True
