@@ -466,6 +466,15 @@ def pq_codebooks(
         .collect()
     )
     X = np.stack([np.asarray(r["v"]) for r in rows])
+    _PQ_CACHE[sf_dir] = pq_train_lloyd(X, m=m, k=k, iters=iters, seed=seed)
+    return _PQ_CACHE[sf_dir]
+
+
+def pq_train_lloyd(
+    X: "np.ndarray", m: int = _PQ_M, k: int = _PQ_K, iters: int = 10, seed: int = 5
+) -> "np.ndarray":
+    """Seeded Lloyd k-means per subspace over a local sample matrix —
+    the driver-side half of PQ training, shared with the scan probe."""
     d = X.shape[1]
     sub = d // m
     rng = np.random.default_rng(seed)
@@ -483,7 +492,6 @@ def pq_codebooks(
                 pts = Xj[assign == c]
                 C[c] = pts.mean(0) if len(pts) else Xj[d2.min(1).argmax()]
         cbs[j] = C
-    _PQ_CACHE[sf_dir] = cbs
     return cbs
 
 
