@@ -621,3 +621,90 @@ def som_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, n_cells_over_quota long, n_flags_below_threshold long, "
         "flag_rate_within_5pct boolean",
     )
+
+
+@register(
+    "som_per_label_models",
+    # per-group model training under the hash: the per-label QE values
+    # are iterative outputs, but every label's row count and variance
+    # trace (the QE of the degenerate one-cell map) are DuckDB-
+    # recomputable, and a trained 3x3 map must beat that degenerate
+    # baseline on every group
+    sql="""
+    WITH unn AS (
+        SELECT label, i, var_pop(e) AS vp FROM (
+            SELECT label, unnest(embedding) AS e,
+                   unnest(range(1, 1 + len(embedding))) AS i
+            FROM embeddings) GROUP BY label, i
+    ), tr AS (
+        SELECT label, ROUND(SUM(vp), 4) AS trace FROM unn GROUP BY label
+    ), cnt AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM embeddings GROUP BY label
+    )
+    SELECT cnt.label, cnt.n_rows, tr.trace, TRUE AS qe_below_trace
+    FROM cnt JOIN tr ON tr.label = cnt.label
+    """,
+    desc="per-group SOM training via applyInPandas (one model per label), pinned by per-group count + variance-trace anchors under full oracle",
+)
+def som_per_label_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'millions of small models' Spark pattern, instantiated with
+    the reference's own algorithm: `groupBy(label).applyInPandas` fits
+    an INDEPENDENT 3x3 SOM per label group, entirely inside one task
+    per group — the shape for per-tenant / per-category models, where
+    the cluster parallelizes ACROSS models instead of within one.  The
+    group fit reuses the exact distributed-kernel module
+    (`som/kernel.py`: grid_distances / temperature / neighborhood /
+    find_bmu / smooth_update), so the local and distributed training
+    paths cannot drift apart.
+
+    Determinism: rows are sorted by vec_id inside each group before
+    the seeded with-replacement init (group arrival order is
+    partitioning-dependent; the sort pins it), so the fitted maps are
+    reproducible across cluster layouts.
+
+    FULL-hash contract: every label's audited row count and variance
+    trace come from the parquet (DuckDB recomputes both), and each
+    trained map's quantization error must be BELOW the trace — the QE
+    of the degenerate one-cell map at the group mean — so a fit that
+    diverges, drops rows, or trains on the wrong group's data breaks
+    the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from sparkml_som_spark.som import kernel as K
+
+    h = w = 3
+    iters = 8
+
+    def fit_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("vec_id")
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        label = int(pdf["label"].iloc[0])
+        rng = np.random.default_rng(42)
+        cb = X[rng.choice(len(X), h * w, replace=True)].copy()
+        grid_d = K.grid_distances(h, w, "rectangular")
+        for it in range(iters):
+            temp = K.temperature(it, iters, 3.0, 0.5, "exponential")
+            bmu, _d2 = K.find_bmu(X, cb)
+            sums = np.zeros_like(cb)
+            counts = np.zeros(h * w, dtype=np.int64)
+            np.add.at(sums, bmu, X)
+            np.add.at(counts, bmu, 1)
+            cb = K.smooth_update(cb, sums, counts, K.neighborhood(grid_d, temp, "gaussian"))
+        _bmu, d2 = K.find_bmu(X, cb)
+        qe = float(d2.mean())
+        trace = float(X.var(axis=0).sum())
+        return pd.DataFrame(
+            {
+                "label": [label],
+                "n_rows": [len(X)],
+                "trace": [round(trace, 4)],
+                "qe_below_trace": [qe < trace],
+            }
+        )
+
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    return emb.groupBy("label").applyInPandas(
+        fit_group, "label int, n_rows long, trace double, qe_below_trace boolean"
+    )

@@ -139,3 +139,12 @@ def test_som_outlier_audit_quota_contract(spark, registry, n_emb):
     assert r["n_cells_over_quota"] == 0
     assert r["n_flags_below_threshold"] == 0
     assert r["flag_rate_within_5pct"] is True
+
+
+def test_som_per_label_models_deterministic_and_grounded(spark, registry, n_emb):
+    a = sorted(tuple(r) for r in registry["som_per_label_models"].fn(spark, SF).collect())
+    b = sorted(tuple(r) for r in registry["som_per_label_models"].fn(spark, SF).collect())
+    assert a == b  # sorted-group seeded init -> layout-independent
+    assert sum(r[1] for r in a) == n_emb
+    for label, n_rows, trace, qe_ok in a:
+        assert n_rows > 0 and trace > 0 and qe_ok is True
