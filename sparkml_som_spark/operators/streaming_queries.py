@@ -717,3 +717,57 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(
         spark, out, f"sgs_stream_louter_{key}".replace(".", "_"), "append"
     )
+
+
+@register(
+    "stream_trending_topk",
+    sql="""
+    WITH wc AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    ), rk AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY window_start
+                   ORDER BY n_events DESC, event_type) AS rk
+        FROM wc
+    )
+    SELECT window_start, event_type, n_events, CAST(rk AS INT) AS rk
+    FROM rk WHERE rk <= 3
+    """,
+    desc="streaming trending top-k: complete-mode windowed counts drained to the sink, ranked top-3 per day in the batch post-pass",
+)
+def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Trending items per window' — the streaming shape rank can't
+    express natively: Structured Streaming supports the windowed COUNT
+    but not a rank over it (no window functions on streaming plans), so
+    the production pattern is windowed aggregation in the stream and
+    the top-k as a cheap batch pass over the sink (or inside
+    foreachBatch).  This entry runs exactly that: 1-day tumbling counts
+    per event_type drain in complete mode; the sink's bounded
+    (day x event_type) grid is ranked top-3 per day.  The oracle
+    replays both halves in SQL, so a dropped micro-batch, a wrong
+    window assignment, or a rank slip breaks the value hash.  At scale
+    the sink is a compacted table and the post-pass a scheduled query —
+    the state in the stream stays bounded by the live windows."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from sparkml_som_spark.streaming.windows import tumbling_window_stream
+
+    stream, key = _stream_source(spark, sf_dir)
+    counts = tumbling_window_stream(stream).select(
+        "window_start", "event_type", "n_events"
+    )
+    sink = _run_to_memory(
+        spark, counts, f"sgs_stream_trend_{key}".replace(".", "_"), "complete"
+    )
+    w = W.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        sink.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("window_start", "event_type", "n_events", "rk")
+    )

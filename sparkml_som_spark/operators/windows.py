@@ -322,3 +322,53 @@ def window_analytic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("v", ignorenulls=True).over(w2).alias("first_nn"),
         F.last("v", ignorenulls=True).over(w2).alias("last_nn"),
     )
+
+
+@register(
+    "window_rank_family_events",
+    sql="""
+    WITH r AS (
+        SELECT event_type, value,
+               NTILE(4)       OVER w AS quartile,
+               PERCENT_RANK() OVER w AS pr,
+               CUME_DIST()    OVER w AS cd
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    )
+    SELECT event_type, quartile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(value), 4)     AS lo_value,
+           ROUND(MAX(value), 4)     AS hi_value,
+           ROUND(MIN(pr), 6)        AS min_pr,
+           ROUND(MAX(cd), 6)        AS max_cd
+    FROM r
+    GROUP BY event_type, quartile
+    """,
+    desc="distribution-rank window family: NTILE(4) + PERCENT_RANK + CUME_DIST per event_type, rolled to the bounded quartile grid",
+)
+def window_rank_family_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three distribution-rank window functions the rank/lag
+    entries don't cover: NTILE balanced bucketing (quartile sizes
+    differ by at most one), PERCENT_RANK ((rank-1)/(n-1)) and
+    CUME_DIST (rank/n) — all over a TOTAL order (event_id tiebreak),
+    so every value is deterministic.  The per-row stream folds to the
+    bounded (event_type x quartile) grid.  Scale: one shuffle on
+    event_type; a skewed event_type concentrates its window in one
+    task — the `sessionize_two_phase` bucketing pattern applies when
+    that bites."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return r.groupBy("event_type", "quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 4).alias("lo_value"),
+        F.round(F.max("value"), 4).alias("hi_value"),
+        F.round(F.min("pr"), 6).alias("min_pr"),
+        F.round(F.max("cd"), 6).alias("max_cd"),
+    )
