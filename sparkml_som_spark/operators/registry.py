@@ -185,6 +185,17 @@ def register(name: str, sql: str | None = None, desc: str = ""):
 # som_umatrix / som_grid_search keep their slots: their oracles gained a
 # data-derived n_train_rows anchor this round and the new form needs a
 # driver verdict.
+# Round-7 second rotation: six more slots green BOTH r5+r6
+# (pmi_term_pairs, pack_greedy_capacity, rag_context_pack,
+# mixture_resample_apply, stream_decayed_counters, zorder_layout_events
+# — all still swept by the local gate) went to the round-7 headline
+# operators so their first driver verdicts land with the round that
+# built them: sessionize_two_phase (skew-resilient sessionizer, shares
+# the single-window oracle), dedup_incremental_minhash (delta-probes
+# the band index), embedding_pq_encode + ann_pq_adc (product
+# quantization with trace anchors / the ADC==reconstruction identity),
+# stream_left_outer_join (watermark eviction boundary as oracle), and
+# cross_source_overlap (contamination matrix).
 _PRIORITY: tuple[str, ...] = (
     "som_cluster_summary",
     "som_quantization_error",
@@ -213,21 +224,21 @@ _PRIORITY: tuple[str, ...] = (
     "gini_revenue_concentration",
     "curriculum_phases",
     "psi_value_drift",
-    "pmi_term_pairs",
+    "sessionize_two_phase",
     "ratio_metric_delta_ab",
     "skew_salted_join_segments",
     "survival_km_purchase",
-    "pack_greedy_capacity",
+    "dedup_incremental_minhash",
     "join_key_skew_audit",
     "q8_market_share",
     "q13_order_count_distribution",
     "text_som_topics",
-    "rag_context_pack",
-    "mixture_resample_apply",
+    "embedding_pq_encode",
+    "ann_pq_adc",
     "dpp_partitioned_fact_join",
     "sink_bucketed_join_revenue",
-    "stream_decayed_counters",
-    "zorder_layout_events",
+    "stream_left_outer_join",
+    "cross_source_overlap",
     "ndcg_label_retrieval",
     "cusum_drift_revenue",
     "benford_first_digit_audit",
