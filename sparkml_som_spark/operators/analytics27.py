@@ -143,6 +143,7 @@ def near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH t AS (
         SELECT doc_id, source, lower(text) AS txt FROM documents
+        WHERE length(text) >= 2
     ), bg AS (
         SELECT doc_id, source,
                unnest(list_transform(range(1, length(txt)),
@@ -175,7 +176,13 @@ def quality_char_bigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
     final aggregate folds to the bounded source grid.  Everything is
     JVM-side codegen — no Python in the pipeline."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    t = docs.select("doc_id", "source", F.lower(F.col("text")).alias("txt"))
+    # docs shorter than one bigram are excluded on BOTH sides: Spark's
+    # sequence(1, length-1) DESCENDS when length < 2 (phantom tokens),
+    # DuckDB's range(1, length) is simply empty — the filter makes the
+    # two engines agree instead of relying on the fixture's min length
+    t = docs.where(F.length("text") >= 2).select(
+        "doc_id", "source", F.lower(F.col("text")).alias("txt")
+    )
     bg = t.select(
         "doc_id",
         "source",

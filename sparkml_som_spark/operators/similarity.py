@@ -377,6 +377,31 @@ def embedding_pca_ratios(spark: SparkSession, sf_dir: str) -> list:
     return [float(v) for v in model.explainedVariance]
 
 
+# The covariance trace (sum of per-dimension population variances) as a
+# DuckDB scalar subquery — the shared data-derived anchor for the PCA
+# and PQ oracles; the Spark twin is `variance_trace` below.
+_TRACE_SQL = """(SELECT ROUND(SUM(vp), 4) FROM (
+               SELECT i, var_pop(e) AS vp FROM (
+                   SELECT unnest(embedding) AS e,
+                          unnest(range(1, 1 + len(embedding))) AS i
+                   FROM embeddings) GROUP BY i))"""
+
+
+def variance_trace(emb: DataFrame) -> float:
+    """Covariance trace of the embedding column, rounded to 4: one
+    posexplode + per-dimension var_pop aggregate (map-side combined,
+    d-row shuffle).  Must stay the exact Spark twin of `_TRACE_SQL`."""
+    return (
+        emb.select(
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "v")
+        )
+        .groupBy("i")
+        .agg(F.var_pop("v").alias("vp"))
+        .agg(F.round(F.sum("vp"), 4).alias("tv"))
+        .collect()[0]["tv"]
+    )
+
+
 @register(
     "embedding_pca_variance",
     # the ratios themselves are eigen outputs, but their spectral
@@ -386,16 +411,12 @@ def embedding_pca_ratios(spark: SparkSession, sf_dir: str) -> list:
     # (total variance = trace of the covariance = sum of per-dimension
     # population variances) is directly recomputable by DuckDB from
     # the parquet, so a hardcoded verdict row cannot satisfy the hash
-    sql="""
+    sql=f"""
     SELECT CAST(8 AS INT)    AS n_components,
            CAST(0 AS BIGINT) AS n_out_of_range,
            TRUE              AS ratios_nonincreasing,
            TRUE              AS total_at_most_1,
-           (SELECT ROUND(SUM(vp), 4) FROM (
-               SELECT i, var_pop(e) AS vp FROM (
-                   SELECT unnest(embedding) AS e,
-                          unnest(range(1, 1 + len(embedding))) AS i
-                   FROM embeddings) GROUP BY i)) AS total_variance
+           {_TRACE_SQL} AS total_variance
     """,
     desc="PCA explained-variance profile (pyspark.ml integration), pinned by spectral-contract invariants + the DuckDB-recomputed trace anchor under full oracle",
 )
@@ -417,16 +438,7 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_oob = sum(1 for v in ev if not (-1e-12 <= v <= 1.0 + 1e-12))
     noninc = all(a >= b - 1e-12 for a, b in zip(ev, ev[1:]))
     total_ok = sum(ev) <= 1.0 + 1e-9
-    emb = load_table(spark, sf_dir, "embeddings", spread=True)
-    tv = (
-        emb.select(
-            F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "v")
-        )
-        .groupBy("i")
-        .agg(F.var_pop("v").alias("vp"))
-        .agg(F.round(F.sum("vp"), 4).alias("tv"))
-        .collect()[0]["tv"]
-    )
+    tv = variance_trace(load_table(spark, sf_dir, "embeddings", spread=True))
     return spark.createDataFrame(
         [(len(ev), n_oob, bool(noninc), bool(total_ok), float(tv))],
         "n_components int, n_out_of_range long, ratios_nonincreasing boolean, "
@@ -454,10 +466,13 @@ def pq_codebooks(
     training is the production shape (faiss trains PQ on ~100k rows
     regardless of corpus size): the driver holds O(sample x d), never
     the corpus.  Empty clusters are reseeded to the worst-served sample
-    point, deterministically.  Cached per sf_dir — the codebook is a
-    pure function of (data, seed)."""
-    if sf_dir in _PQ_CACHE:
-        return _PQ_CACHE[sf_dir]
+    point, deterministically.  Cached per (sf_dir, hyper-parameters) —
+    the codebook is a pure function of (data, params, seed), and the
+    full key keeps a non-default call from silently receiving the
+    default-parameter codebook."""
+    key = (sf_dir, m, k, iters, seed)
+    if key in _PQ_CACHE:
+        return _PQ_CACHE[key]
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
     rows = (
         emb.where(F.col("vec_id") < _PQ_SAMPLE)
@@ -466,8 +481,8 @@ def pq_codebooks(
         .collect()
     )
     X = np.stack([np.asarray(r["v"]) for r in rows])
-    _PQ_CACHE[sf_dir] = pq_train_lloyd(X, m=m, k=k, iters=iters, seed=seed)
-    return _PQ_CACHE[sf_dir]
+    _PQ_CACHE[key] = pq_train_lloyd(X, m=m, k=k, iters=iters, seed=seed)
+    return _PQ_CACHE[key]
 
 
 def pq_train_lloyd(
@@ -495,13 +510,22 @@ def pq_train_lloyd(
     return cbs
 
 
-def pq_encode(emb: DataFrame, cbs: "np.ndarray") -> DataFrame:
+def pq_encode(
+    emb: DataFrame, cbs: "np.ndarray", cleanup: list | None = None
+) -> DataFrame:
     """Distributed PQ encoding: (vec_id, v) -> (vec_id, v, codes
     array<int>, recon_se double).  One vectorized pass per Arrow batch
     (m small GEMM-shaped argmins), broadcast codebook — the corpus is
-    read once and never shuffled."""
+    read once and never shuffled.
+
+    ``cleanup``: pass a list to receive the codebook broadcast handle
+    for release once the encoded result is materialized (the
+    `distributed_global_rank` pattern — without it every call leaks
+    one broadcast for the session)."""
     spark = emb.sparkSession
     bc = spark.sparkContext.broadcast(cbs)
+    if cleanup is not None:
+        cleanup.append(bc)
     m, _k, sub = cbs.shape
 
     @pandas_udf("codes array<int>, recon_se double")
@@ -534,13 +558,9 @@ def pq_encode(emb: DataFrame, cbs: "np.ndarray") -> DataFrame:
            CAST(0 AS BIGINT)              AS n_codes_out_of_range,
            CAST({_PQ_M} AS INT)           AS code_bytes_per_vec,
            TRUE                           AS recon_mse_below_trace,
-           (SELECT ROUND(SUM(vp), 4) FROM (
-               SELECT i, var_pop(e) AS vp FROM (
-                   SELECT unnest(embedding) AS e,
-                          unnest(range(1, 1 + len(embedding))) AS i
-                   FROM embeddings) GROUP BY i)) AS total_variance
+           {{trace}} AS total_variance
     FROM embeddings
-    """,
+    """.format(trace=_TRACE_SQL),
     desc="product quantization encode (8x16 sampled-Lloyd codebooks, 4-bit codes), pinned by code-range invariants + row-count and covariance-trace anchors under full oracle",
 )
 def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -556,24 +576,23 @@ def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the trace from the parquet, so the quality bar is
     data-derived, not asserted.  ADC search over these codes:
     `ann_pq_adc`."""
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     cbs = pq_codebooks(spark, sf_dir)
-    enc = pq_encode(emb_v(load_table(spark, sf_dir, "embeddings", spread=True)), cbs)
+    held: list = []
+    enc = pq_encode(emb_v(emb), cbs, cleanup=held)
     oob = F.exists("codes", lambda c: (c < 0) | (c >= _PQ_K))
     row = enc.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count_if(oob).alias("n_oob"),
         F.avg("recon_se").alias("mse"),
     ).collect()[0]
-    emb = load_table(spark, sf_dir, "embeddings", spread=True)
-    tv = (
-        emb.select(
-            F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "v")
-        )
-        .groupBy("i")
-        .agg(F.var_pop("v").alias("vp"))
-        .agg(F.round(F.sum("vp"), 4).alias("tv"))
-        .collect()[0]["tv"]
-    )
+    for h in held:
+        h.destroy()
+    tv = variance_trace(emb)
+    # a zero-variance (all-identical) corpus makes qe == trace == 0:
+    # degenerate but correct — the strict inequality only applies when
+    # there is variance to beat
+    mse_ok = bool(row["mse"] < tv) or tv == 0.0
     return spark.createDataFrame(
         [
             (
@@ -581,7 +600,7 @@ def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _PQ_M * _PQ_K,
                 row["n_oob"],
                 _PQ_M,
-                bool(row["mse"] < tv),
+                mse_ok,
                 float(tv),
             )
         ],
@@ -634,7 +653,8 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-recall guards."""
     emb = emb_v(load_table(spark, sf_dir, "embeddings", spread=True))
     cbs = pq_codebooks(spark, sf_dir)
-    enc = pq_encode(emb, cbs)
+    held: list = []
+    enc = pq_encode(emb, cbs, cleanup=held)
     m, k, sub = cbs.shape
 
     q_rows = (
@@ -667,10 +687,19 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"adc": [r.tolist() for r in adc], "rd": [r.tolist() for r in rd]}
         )
 
+    # the posexplode position indexes Q; map it to the query's ACTUAL
+    # vec_id so the output matches the oracle (and the self-exclusion
+    # below) even when the first N_QUERIES vec_ids are not dense 0..n-1
+    qid_by_pos = F.array(*[F.lit(int(r["vec_id"])) for r in q_rows])
     scored = (
         enc.select("vec_id", dists("codes").alias("t"))
-        .select("vec_id", F.posexplode(F.arrays_zip("t.adc", "t.rd")).alias("query_id", "z"))
-        .select("vec_id", "query_id", F.col("z.adc").alias("adc"), F.col("z.rd").alias("rd"))
+        .select("vec_id", F.posexplode(F.arrays_zip("t.adc", "t.rd")).alias("qpos", "z"))
+        .select(
+            "vec_id",
+            F.element_at(qid_by_pos, F.col("qpos") + 1).alias("query_id"),
+            F.col("z.adc").alias("adc"),
+            F.col("z.rd").alias("rd"),
+        )
         .where(F.col("vec_id") != F.col("query_id"))
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
@@ -691,4 +720,4 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from sparkml_som_spark.operators.registry import materialize_small
 
-    return materialize_small(out, cleanup=(bc_lut, bc_cb, bc_q))
+    return materialize_small(out, cleanup=(bc_lut, bc_cb, bc_q, *held))

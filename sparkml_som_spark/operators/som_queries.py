@@ -695,12 +695,15 @@ def som_per_label_models(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bmu, d2 = K.find_bmu(X, cb)
         qe = float(d2.mean())
         trace = float(X.var(axis=0).sum())
+        # a degenerate group (single row / all-identical embeddings) has
+        # trace == 0 and qe == 0 — correct, but the strict inequality
+        # only applies when there is variance to beat
         return pd.DataFrame(
             {
                 "label": [label],
                 "n_rows": [len(X)],
                 "trace": [round(trace, 4)],
-                "qe_below_trace": [qe < trace],
+                "qe_below_trace": [qe < trace or trace == 0.0],
             }
         )
 

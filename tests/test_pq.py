@@ -22,9 +22,9 @@ def registry():
 def test_pq_codebooks_deterministic(spark):
     from sparkml_som_spark.operators import similarity as S
 
-    S._PQ_CACHE.pop(SF, None)
+    S._PQ_CACHE.clear()
     a = S.pq_codebooks(spark, SF)
-    S._PQ_CACHE.pop(SF, None)
+    S._PQ_CACHE.clear()
     b = S.pq_codebooks(spark, SF)
     assert a.shape == (S._PQ_M, S._PQ_K, 64 // S._PQ_M)
     assert np.array_equal(a, b)

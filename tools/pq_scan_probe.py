@@ -75,7 +75,8 @@ def main() -> None:
         )
         cbs = pq_train_lloyd(sample)
         m, k, sub = cbs.shape
-        codes = pq_encode(vecs, cbs).select("vec_id", "codes").persist()
+        enc_held: list = []
+        codes = pq_encode(vecs, cbs, cleanup=enc_held).select("vec_id", "codes").persist()
         codes.count()  # materialize both caches outside the timed region
         vecs.count()
 
@@ -140,6 +141,8 @@ def main() -> None:
         codes.unpersist()
         bc_q.destroy()
         bc_lut.destroy()
+        for h in enc_held:
+            h.destroy()
         return {
             "rows": n,
             "exact_scan_sec": round(w_exact, 3),
