@@ -78,6 +78,19 @@ QUERIES = [
     "kappa_langid_agreement",      # langid pipeline + bounded confusion
     "psi_value_drift",             # Laplace-smoothed bounded band cells
     "ratio_metric_delta_ab",       # one row of moments per arm
+    # round-7 wave
+    "sessionize_two_phase",        # bucket-local windows + session-level merge
+    "dedup_incremental_minhash",   # delta probes the band index
+    "cross_source_overlap",        # pair-set join to bounded source grid
+    "near_dup_rate_by_source",     # pair-involvement left join
+    "quality_char_bigram_logloss", # bigram stream + bounded-vocab broadcast
+    "embedding_pq_encode",         # sampled-Lloyd train + one encode pass
+    "ann_pq_adc",                  # code scan + LUT lookups, pair audit
+    "som_outlier_audit",           # distanceCol pass + 25-cell thresholds
+    "som_per_label_models",        # applyInPandas, one SOM per label
+    "window_rank_family_events",   # ntile/percent_rank/cume_dist windows
+    "stream_trending_topk",        # windowed counts + bounded post-rank
+    "stream_left_outer_join",      # watermark-gated outer join state
 ]
 
 
