@@ -310,20 +310,38 @@ _INCR_SPLIT = 250  # doc_id < 250 = indexed corpus, >= 250 = delta batch
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The INCREMENTAL shape of near-dup detection — the MinHash twin
     of `dedup_incremental_exact`: a new ingest batch is checked against
-    the existing corpus's persisted band index plus itself, WITHOUT
-    re-pairing the existing corpus (existing-vs-existing pairs are
-    never regenerated).  At 100 TB the band index lives as a table
-    bucketed by (band, sig); the delta's bucket rows are small, so the
-    probe join broadcasts or shuffles only the delta side, and the
-    exact-Jaccard verification touches candidate pairs only.  Split:
-    doc_id < {_INCR_SPLIT} = indexed, >= {_INCR_SPLIT} = delta.  The
-    oracle is the exhaustive inverted-index pair set restricted to
+    the existing corpus's PERSISTED band index plus itself, WITHOUT
+    re-running the existing corpus's shingling/min-hashing (ADVICE r7:
+    the index is genuinely written once — build it if absent, read it
+    back otherwise — so a repeat run's lineage for the existing side is
+    a parquet scan, not a recompute; existing-vs-existing pairs are
+    never generated in either case).  At 100 TB the band index lives as
+    a table bucketed by (band, sig); the delta's bucket rows are small,
+    so the probe join broadcasts or shuffles only the delta side, and
+    the exact-Jaccard verification touches candidate pairs only.
+    Split: doc_id < {_INCR_SPLIT} = indexed, >= {_INCR_SPLIT} = delta.
+    The oracle is the exhaustive inverted-index pair set restricted to
     pairs involving a delta doc — banded LSH + verification must
     reproduce it exactly."""
+    import os
+
+    from sparkml_som_spark.operators.sources_queries import _scratch
+
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    buckets = minhash_band_buckets(docs)
-    index = buckets  # persisted band index of old docs + this batch's rows
-    delta = buckets.where(F.col("doc_id") >= _INCR_SPLIT)
+    # build-once band index for the EXISTING corpus (a real persisted
+    # artifact, like the production dedup service's index table); the
+    # _SUCCESS marker gates the rebuild
+    idx_path = _scratch(sf_dir, "minhash_band_index")
+    if not os.path.exists(os.path.join(idx_path, "_SUCCESS")):
+        (
+            minhash_band_buckets(docs.where(F.col("doc_id") < _INCR_SPLIT))
+            .write.mode("overwrite")
+            .parquet(idx_path)
+        )
+    index_existing = spark.read.parquet(idx_path)
+    # delta-side min-hashing touches ONLY the new batch's docs
+    delta = minhash_band_buckets(docs.where(F.col("doc_id") >= _INCR_SPLIT))
+    index = index_existing.unionByName(delta)
     cand = (
         delta.alias("x")
         .join(
