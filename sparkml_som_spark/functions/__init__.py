@@ -59,6 +59,26 @@ def word_shingles(tokens: Column, n: int = 3) -> Column:
     )
 
 
+def word_grams_positional(tokens: Column, n: int) -> Column:
+    """ORDERED n-token grams joined by single spaces — element i is the
+    gram starting at token position i (0-based), so `posexplode` over
+    the result yields (start_pos, gram).  Same zip_with-chain build as
+    `word_shingles` (O(m) per shift, not O(m^2) per doc) but WITHOUT
+    array_distinct: position identity is the point — the substring-run
+    dedup chains grams along document diagonals.  Docs shorter than n
+    tokens yield an empty array."""
+    m = F.size(tokens)
+    acc = tokens
+    for k in range(1, n):
+        ln = F.greatest(m - k, F.lit(0))
+        acc = F.zip_with(
+            F.slice(acc, 1, ln),
+            F.slice(tokens, k + 1, ln),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.when(m >= n, acc).otherwise(F.array().cast("array<string>"))
+
+
 def round_half_away(x: float, digits: int = 4) -> float:
     """Python-side half-away-from-zero rounding on the BINARY double —
     i.e. the DuckDB / C `round()` contract our oracles compare against.

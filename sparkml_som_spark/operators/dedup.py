@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sparkml_som_spark.functions import word_shingles, word_tokens
+from sparkml_som_spark.functions import word_grams_positional, word_shingles, word_tokens
 from sparkml_som_spark.operators.registry import register
 from sparkml_som_spark.sources import load_table
 
@@ -357,6 +357,116 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return exact_jaccard_verify(docs, cand)
+
+
+# Exact substring dedup (Lee et al., "Deduplicating Training Data Makes
+# Language Models Better"-style duplicated-span detection): a pair of
+# docs shares a duplicated span of >= L tokens IFF they share at least
+# one L-token gram, and the span's exact length falls out of chaining
+# consecutive shared L-grams along document DIAGONALS (match at
+# positions (i, j) extends a run iff (i+1, j+1) also matches — a
+# gaps-and-islands group on i - j).  The suffix-array machinery of the
+# paper is a single-node construct; the distributed shape is this
+# positional-gram inverted index.
+_SSD_L = 12       # span threshold in tokens (the "50-token rule" scaled
+                  # to this corpus's ~54-token docs)
+_SSD_MAX_DF = 10  # drop grams appearing in more docs (hot boilerplate):
+                  # bounds the pair fan-out per gram at df^2, same
+                  # DF-cap rule as the n-gram Jaccard inverted index
+_SUBSTRING_ORACLE = f"""
+    WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    g0 AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             md5(array_to_string(toks[pos+1:pos+{_SSD_L}], ' ')) AS g
+      FROM d, LATERAL (SELECT unnest(range(0, greatest(len(toks) - {_SSD_L - 1}, 0))) AS pos) p
+    ),
+    df_ok AS (SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS df FROM g0 GROUP BY g) WHERE df <= {_SSD_MAX_DF}),
+    fg AS (SELECT g0.* FROM g0 JOIN df_ok USING (g)),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.pos AS i, b.pos AS j
+      FROM fg a JOIN fg b ON a.g = b.g AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT a_id, b_id, i - j AS diag, i,
+             i - ROW_NUMBER() OVER (PARTITION BY a_id, b_id, i - j ORDER BY i) AS isl
+      FROM pairs
+    ),
+    chains AS (SELECT a_id, b_id, COUNT(*) AS chain FROM runs GROUP BY a_id, b_id, diag, isl)
+    SELECT a_id, b_id,
+           CAST(MAX(chain) + {_SSD_L - 1} AS BIGINT) AS longest_run_tokens,
+           CAST(SUM(chain) AS BIGINT) AS n_matching_grams
+    FROM chains GROUP BY a_id, b_id ORDER BY a_id, b_id
+"""
+
+
+@register(
+    "dedup_substring_runs",
+    sql=_SUBSTRING_ORACLE,
+    desc=f"exact substring dedup: shared runs of >= {_SSD_L} tokens via positional-gram diagonal chaining (Lee et al.-style), DF-capped index, full oracle",
+)
+def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT duplicated-span detection — the last standard LLM-corpus
+    dedup family beside MinHash/SimHash/n-gram/embedding (VERDICT r7
+    ask #4): reports, for every doc pair sharing an exact run of >=
+    {_SSD_L} tokens, the LONGEST shared run length and the total count
+    of matching positional grams.
+
+    Algorithm (all JVM-side, no Python): positional {_SSD_L}-grams via
+    the zip_with chain (O(m) per shift, not O(m^2) per doc) -> md5 gram
+    ids -> DF-capped inverted index (grams in > {_SSD_MAX_DF} docs are
+    boilerplate and dropped — bounds per-gram pair fan-out at df^2,
+    never all-pairs) -> equi-join on gram id gives position matches
+    (i, j) -> consecutive matches chain along diagonals (group by
+    i - j, gaps-and-islands on i) -> longest chain c = span of
+    c + {_SSD_L - 1} tokens.  The diagonal windows partition by
+    (a_id, b_id, diag) whose size is bounded by the shorter doc's
+    length — no corpus-sized partitions at any step.  A dropped hot
+    gram can split a span in two; the same DF rule runs in both
+    engines, so the contract stays exact (the production knob is
+    max_df, traded against boilerplate fan-out).  100x scale: the
+    index is the same shape as `dedup_ngram_jaccard`'s (skew-probed
+    0.87x at 100x rows, SCALE.md); chain windows add one shuffle
+    bounded by matched positions, which the DF cap keeps linear in
+    corpus size."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select("doc_id", word_tokens(F.col("text")).alias("toks"))
+    gram_md5 = F.transform(
+        word_grams_positional(F.col("toks"), _SSD_L), lambda g: F.md5(g)
+    )
+    grams = toks.select("doc_id", F.posexplode(gram_md5).alias("pos", "g"))
+    df_ok = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .where(F.col("df") <= _SSD_MAX_DF)
+        .select("g")
+    )
+    fg = grams.join(df_ok, "g")
+    pairs = (
+        fg.select(F.col("doc_id").alias("a_id"), F.col("pos").alias("i"), "g")
+        .join(
+            fg.select(F.col("doc_id").alias("b_id"), F.col("pos").alias("j"), "g"),
+            "g",
+        )
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "i", "j")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("a_id", "b_id", "diag").orderBy("i")
+    chains = (
+        pairs.withColumn("diag", F.col("i") - F.col("j"))
+        .withColumn("isl", F.col("i") - F.row_number().over(w))
+        .groupBy("a_id", "b_id", "diag", "isl")
+        .agg(F.count(F.lit(1)).alias("chain"))
+    )
+    return (
+        chains.groupBy("a_id", "b_id")
+        .agg(
+            (F.max("chain") + _SSD_L - 1).cast("long").alias("longest_run_tokens"),
+            F.sum("chain").cast("long").alias("n_matching_grams"),
+        )
+        .orderBy("a_id", "b_id")
+    )
 
 
 # 60-bit md5-based SimHash: 15 md5 hex chars -> BIGINT is expressible in

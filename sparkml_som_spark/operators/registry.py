@@ -196,33 +196,50 @@ def register(name: str, sql: str | None = None, desc: str = ""):
 # quantization with trace anchors / the ADC==reconstruction identity),
 # stream_left_outer_join (watermark eviction boundary as oracle), and
 # cross_source_overlap (contamination matrix).
+# Round-8 first rotation: twelve slots green BOTH r6+r7
+# (som_quantization_error, som_hex_occupancy, som_umatrix,
+# som_topographic_error, som_grid_search, pipeline_training_manifest,
+# shard_assignment_balanced, stream_som_inference,
+# gini_revenue_concentration, curriculum_phases,
+# benford_first_digit_audit, cohort_ltv_matrix — all still swept by
+# the local gate; som_cluster_summary stays as the SOM flagship
+# continuity keeper) went to never-driver-sampled entries,
+# prioritized per VERDICT r7 ask #3: the remaining TPC-H depth (q2,
+# q11, q15, q17, q20, q21) and the analytics10-16 wave
+# (bloom_semijoin_customers, table_diff_reconcile,
+# ann_matryoshka_prefix, kwic_term_context,
+# kanon_quasi_identifier_audit, data_freshness_audit).  Each incoming
+# entry re-verified green via tools/check_oracle.py before the swap.
+# ann_ivf_som / ann_lsh_hyperplane keep their slots: their top-k path
+# moved to the salted two-phase `topk_per_query` this round and the
+# new form needs a driver verdict.
 _PRIORITY: tuple[str, ...] = (
     "som_cluster_summary",
-    "som_quantization_error",
-    "som_hex_occupancy",
-    "som_umatrix",
+    "q2_min_price_supplier",
+    "q11_important_parts",
+    "q15_top_supplier",
     "stream_sliding_window",
     "ann_ivf_som",
     "ann_lsh_hyperplane",
     "stream_session_window",
     "stream_incremental_batches",
     "stream_incremental_dedup_index",
-    "som_topographic_error",
-    "som_grid_search",
+    "q17_small_qty_revenue",
+    "q20_excess_suppliers",
     "stream_ohlc_bars",
-    "pipeline_training_manifest",
-    "shard_assignment_balanced",
+    "q21_waiting_suppliers",
+    "bloom_semijoin_customers",
     "stream_countmin_merge",
     "source_python_stream_writer",
     "open_orders_backlog",
     "embedding_pca_variance",
     "dedup_canonical_pick",
-    "media_feature_pipeline",
+    "table_diff_reconcile",
     "fuzzy_match_customers",
-    "stream_som_inference",
+    "ann_matryoshka_prefix",
     "source_python_stream_datasource",
-    "gini_revenue_concentration",
-    "curriculum_phases",
+    "kwic_term_context",
+    "kanon_quasi_identifier_audit",
     "psi_value_drift",
     "sessionize_two_phase",
     "ratio_metric_delta_ab",
@@ -241,9 +258,9 @@ _PRIORITY: tuple[str, ...] = (
     "cross_source_overlap",
     "ndcg_label_retrieval",
     "cusum_drift_revenue",
-    "benford_first_digit_audit",
+    "data_freshness_audit",
     "stream_interval_join",
-    "cohort_ltv_matrix",
+    "media_feature_pipeline",
     "stream_stateful_profile",
     "funnel_stage_latency",
     # continuity keeper: a representative TPC-H row stays driver-visible
