@@ -373,8 +373,11 @@ _SSD_L = 12       # span threshold in tokens (the "50-token rule" scaled
 _SSD_MAX_DF = 10  # drop grams appearing in more docs (hot boilerplate):
                   # bounds the pair fan-out per gram at df^2, same
                   # DF-cap rule as the n-gram Jaccard inverted index
-_SUBSTRING_ORACLE = f"""
-    WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+# shared CTE prefix (tokens -> positional md5 grams -> DF cap ->
+# position-matched pairs) reused by the runs, coverage, and incremental
+# oracles so every family member replays the identical candidate rule
+_SSD_CTE_PREFIX = f"""
+    d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
     g0 AS (
       SELECT doc_id, CAST(pos AS BIGINT) AS pos,
              md5(array_to_string(toks[pos+1:pos+{_SSD_L}], ' ')) AS g
@@ -385,7 +388,10 @@ _SUBSTRING_ORACLE = f"""
     pairs AS (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.pos AS i, b.pos AS j
       FROM fg a JOIN fg b ON a.g = b.g AND a.doc_id < b.doc_id
-    ),
+    )"""
+
+_SUBSTRING_ORACLE = f"""
+    WITH {_SSD_CTE_PREFIX},
     runs AS (
       SELECT a_id, b_id, i - j AS diag, i,
              i - ROW_NUMBER() OVER (PARTITION BY a_id, b_id, i - j ORDER BY i) AS isl
@@ -397,6 +403,45 @@ _SUBSTRING_ORACLE = f"""
            CAST(SUM(chain) AS BIGINT) AS n_matching_grams
     FROM chains GROUP BY a_id, b_id ORDER BY a_id, b_id
 """
+
+
+def positional_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, g) positional md5 {L}-gram rows — the exact
+    Spark twin of the oracle's g0 CTE; shared by the full-corpus and
+    incremental substring entries.""".format(L=_SSD_L)
+    toks = docs.select("doc_id", word_tokens(F.col("text")).alias("toks"))
+    gram_md5 = F.transform(
+        word_grams_positional(F.col("toks"), _SSD_L), lambda g: F.md5(g)
+    )
+    return toks.select("doc_id", F.posexplode(gram_md5).alias("pos", "g"))
+
+
+def substring_match_pairs(
+    docs: DataFrame, grams: DataFrame | None = None
+) -> DataFrame:
+    """Position-matched candidate pairs (a_id, b_id, i, j) for the
+    substring-dedup family: DF-capped positional-gram inverted index,
+    equi-joined on the gram id — fan-out bounded by df^2 per gram,
+    never all-pairs.  ``grams`` overrides the gram table (the
+    incremental entry passes index+delta)."""
+    if grams is None:
+        grams = positional_grams(docs)
+    df_ok = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .where(F.col("df") <= _SSD_MAX_DF)
+        .select("g")
+    )
+    fg = grams.join(df_ok, "g")
+    return (
+        fg.select(F.col("doc_id").alias("a_id"), F.col("pos").alias("i"), "g")
+        .join(
+            fg.select(F.col("doc_id").alias("b_id"), F.col("pos").alias("j"), "g"),
+            "g",
+        )
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "i", "j")
+    )
 
 
 @register(
@@ -429,11 +474,74 @@ def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by matched positions, which the DF cap keeps linear in
     corpus size."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    toks = docs.select("doc_id", word_tokens(F.col("text")).alias("toks"))
-    gram_md5 = F.transform(
-        word_grams_positional(F.col("toks"), _SSD_L), lambda g: F.md5(g)
+    pairs = substring_match_pairs(docs)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("a_id", "b_id", "diag").orderBy("i")
+    chains = (
+        pairs.withColumn("diag", F.col("i") - F.col("j"))
+        .withColumn("isl", F.col("i") - F.row_number().over(w))
+        .groupBy("a_id", "b_id", "diag", "isl")
+        .agg(F.count(F.lit(1)).alias("chain"))
     )
-    grams = toks.select("doc_id", F.posexplode(gram_md5).alias("pos", "g"))
+    return (
+        chains.groupBy("a_id", "b_id")
+        .agg(
+            (F.max("chain") + _SSD_L - 1).cast("long").alias("longest_run_tokens"),
+            F.sum("chain").cast("long").alias("n_matching_grams"),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
+@register(
+    "dedup_incremental_substring",
+    # the exhaustive span oracle restricted to pairs that involve a
+    # delta doc — with a_id < b_id that is exactly b_id >= the split
+    sql=f"""
+    WITH {_SSD_CTE_PREFIX},
+    runs AS (
+      SELECT a_id, b_id, i - j AS diag, i,
+             i - ROW_NUMBER() OVER (PARTITION BY a_id, b_id, i - j ORDER BY i) AS isl
+      FROM pairs WHERE b_id >= {_INCR_SPLIT}
+    ),
+    chains AS (SELECT a_id, b_id, COUNT(*) AS chain FROM runs GROUP BY a_id, b_id, diag, isl)
+    SELECT a_id, b_id,
+           CAST(MAX(chain) + {_SSD_L - 1} AS BIGINT) AS longest_run_tokens,
+           CAST(SUM(chain) AS BIGINT) AS n_matching_grams
+    FROM chains GROUP BY a_id, b_id ORDER BY a_id, b_id
+    """,
+    desc=f"incremental exact substring dedup: delta batch probes the persisted positional-gram index, shared >= {_SSD_L}-token runs via diagonal chaining",
+)
+def dedup_incremental_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental twin of `dedup_substring_runs`, completing the
+    pattern every dedup family here follows (exact / MinHash /
+    substring each have a full-corpus and a delta form): the existing
+    corpus's positional-gram index is PERSISTED (build-once parquet,
+    _SUCCESS-gated, like the MinHash band index), a new ingest batch
+    min-grams only ITS docs, and the probe join runs delta-vs-(index +
+    delta) — existing-vs-existing position pairs are never generated,
+    so the per-batch cost tracks the batch.  The DF cap is computed
+    over index+delta (equal to the full corpus, matching the oracle).
+    Split: doc_id < {_INCR_SPLIT} = indexed, >= {_INCR_SPLIT} = delta."""
+    import os
+
+    from sparkml_som_spark.operators.sources_queries import _scratch
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    idx_path = _scratch(sf_dir, "substring_gram_index")
+    if not os.path.exists(os.path.join(idx_path, "_SUCCESS")):
+        (
+            positional_grams(docs.where(F.col("doc_id") < _INCR_SPLIT))
+            .write.mode("overwrite")
+            .parquet(idx_path)
+        )
+    index_existing = spark.read.parquet(idx_path)
+    delta = positional_grams(docs.where(F.col("doc_id") >= _INCR_SPLIT))
+    grams = index_existing.unionByName(delta)
+    # b-side restricted to delta docs: with a_id < b_id this captures
+    # exactly the delta-involving pairs (a delta a_id forces a delta
+    # b_id), so the existing corpus only ever appears as probe input
     df_ok = (
         grams.groupBy("g")
         .agg(F.count_distinct("doc_id").alias("df"))
@@ -444,7 +552,8 @@ def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         fg.select(F.col("doc_id").alias("a_id"), F.col("pos").alias("i"), "g")
         .join(
-            fg.select(F.col("doc_id").alias("b_id"), F.col("pos").alias("j"), "g"),
+            fg.where(F.col("doc_id") >= _INCR_SPLIT)
+            .select(F.col("doc_id").alias("b_id"), F.col("pos").alias("j"), "g"),
             "g",
         )
         .where(F.col("a_id") < F.col("b_id"))

@@ -298,6 +298,7 @@ def load_all() -> dict[str, QuerySpec]:
     import sparkml_som_spark.operators.corpus_ops2  # noqa: F401
     import sparkml_som_spark.operators.corpus_ops3  # noqa: F401
     import sparkml_som_spark.operators.corpus_ops4  # noqa: F401
+    import sparkml_som_spark.operators.corpus_ops5  # noqa: F401
     import sparkml_som_spark.operators.corpus_pipeline  # noqa: F401
     import sparkml_som_spark.operators.dedup  # noqa: F401
     import sparkml_som_spark.operators.relational  # noqa: F401
