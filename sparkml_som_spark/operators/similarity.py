@@ -785,3 +785,195 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkml_som_spark.operators.registry import materialize_small
 
     return materialize_small(out, cleanup=(bc_lut, bc_cb, bc_q, bc_qids, *held))
+
+
+@register(
+    "ann_ivf_pq",
+    # same machinery-exactness contract as ann_pq_adc: the coarse cell
+    # assignment is not SQL-expressible, so the hashable surface is the
+    # residual-ADC identity (ADC == distance from the query to
+    # centroid + reconstructed residual, per candidate pair), the
+    # tolerance-aware argmin agreement, and exactly k results per query
+    sql=f"""
+    SELECT vec_id AS query_id,
+           CAST({TOP_K} AS BIGINT) AS k_returned,
+           CAST(0 AS BIGINT)       AS n_adc_recon_mismatch,
+           TRUE                    AS top1_matches_recon_argmin
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+    ORDER BY query_id
+    """,
+    desc="IVF+PQ composed ANN (faiss IVFPQ shape): SOM coarse cells + PQ over residuals, per-cell ADC LUTs, partial top-k scan",
+)
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed index production vector search actually deploys
+    (faiss IVFPQ): the SOM's cells are the coarse quantizer, PQ encodes
+    the RESIDUAL v - centroid(cell) (residuals are tighter than raw
+    vectors, so the same code budget buys less distortion), queries
+    probe their nprobe nearest cells, and scoring is ADC with a
+    PER-CELL lookup table built from (q - centroid) — because
+    ||q - (centroid + recon)||^2 == ||(q - centroid) - recon||^2, the
+    residual-ADC identity is exact and verifiable per candidate pair,
+    which is the hashable contract (n_adc_recon_mismatch counts
+    violations > 1e-9; the ADC argmin must be a true reconstruction-
+    distance minimum within 1e-9).
+
+    Scale shape: the corpus is scanned ONCE for encode (Arrow batches,
+    broadcast codebooks); the query scan touches only probed-cell rows
+    (corpus/n_cells * nprobe); per-batch partial top-k + bounded merge
+    — no corpus-sized window (the `ann_pq_adc` r8 shape); the LUT
+    broadcast is (cells x nq x m x k) doubles — hyper-parameter-bounded,
+    corpus-independent."""
+    import numpy as np
+
+    from sparkml_som_spark.operators.som_queries import fit_default_som
+
+    nprobe = 8
+    model, emb = fit_default_som(spark, sf_dir)
+    cb = np.asarray(model.prototypes, dtype=np.float64)  # (cells, d)
+    n_cells, d = cb.shape
+    assigned = model.transform(emb).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.col("prediction").cast("int").alias("cell"),
+    )
+
+    # deterministic driver-side residual sample -> PQ codebooks
+    sample_rows = (
+        emb.where(F.col("vec_id") < _PQ_SAMPLE)
+        .orderBy("vec_id")
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    X = np.stack([np.asarray(r["v"]) for r in sample_rows])
+    cells_X = ((X[:, None, :] - cb[None, :, :]) ** 2).sum(-1).argmin(1)
+    cbs = pq_train_lloyd(X - cb[cells_X], m=_PQ_M, k=_PQ_K, iters=10, seed=5)
+    m, k, sub = cbs.shape
+
+    spark_ctx = spark.sparkContext
+    bc_cent = spark_ctx.broadcast(cb)
+    bc_cbs = spark_ctx.broadcast(cbs)
+
+    @pandas_udf("array<int>")
+    def enc_residual(vs: pd.Series, cells: pd.Series) -> pd.Series:
+        C, cent = bc_cbs.value, bc_cent.value
+        Xb = np.stack([np.asarray(x, dtype=np.float64) for x in vs])
+        R = Xb - cent[cells.to_numpy()]
+        codes = np.empty((len(R), C.shape[0]), dtype=np.int32)
+        for j in range(C.shape[0]):
+            Rj = R[:, j * sub : (j + 1) * sub]
+            codes[:, j] = ((Rj[:, None, :] - C[j][None, :, :]) ** 2).sum(-1).argmin(1)
+        return pd.Series([c.tolist() for c in codes])
+
+    enc = assigned.withColumn("codes", enc_residual("v", "cell"))
+
+    # driver-side probe lists + per-(cell, query) LUTs
+    q_rows = emb.where(F.col("vec_id") < N_QUERIES).orderBy("vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).collect()
+    Q = np.stack([np.asarray(r["v"]) for r in q_rows])  # (nq, d)
+    qids = np.asarray([int(r["vec_id"]) for r in q_rows], dtype=np.int64)
+    nq = len(qids)
+    cell_d2 = ((Q[:, None, :] - cb[None, :, :]) ** 2).sum(-1)  # (nq, cells)
+    probe_mask = np.zeros((n_cells, nq), dtype=bool)
+    for qi in range(nq):
+        probe_mask[np.argsort(cell_d2[qi])[:nprobe], qi] = True
+    # luts[cell, qi, j, c] = ||(Q[qi] - cent[cell])[sub j] - C[j][c]||^2
+    QR = Q[None, :, :] - cb[:, None, :]  # (cells, nq, d)
+    luts = np.stack(
+        [
+            ((QR[:, :, j * sub : (j + 1) * sub][:, :, None, :] - cbs[j][None, None, :, :]) ** 2).sum(-1)
+            for j in range(m)
+        ],
+        axis=2,
+    )  # (cells, nq, m, k)
+    bc_lut = spark_ctx.broadcast(luts)
+    bc_q = spark_ctx.broadcast(Q)
+    bc_qids = spark_ctx.broadcast(qids)
+    bc_mask = spark_ctx.broadcast(probe_mask)
+
+    part_schema = (
+        "qpos int, n_mis long, "
+        "cand array<struct<adc: double, vec_id: bigint>>, "
+        "best_adc double, best_vid bigint, best_rd double, min_rd double"
+    )
+
+    def scan(batches):
+        L, C, cent, Qv, qv, Mk = (
+            bc_lut.value, bc_cbs.value, bc_cent.value, bc_q.value,
+            bc_qids.value, bc_mask.value,
+        )
+        nq_ = Qv.shape[0]
+        for pdf in batches:
+            cells = pdf["cell"].to_numpy()
+            keep = Mk[cells].any(axis=1)  # row probed by ANY query
+            if not keep.any():
+                continue
+            pdf = pdf[keep]
+            cells = cells[keep]
+            Cd = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            vid = pdf["vec_id"].to_numpy().astype(np.int64)
+            nb = len(vid)
+            adc = np.zeros((nb, nq_))
+            for j in range(C.shape[0]):
+                # L[cells, :, j, Cd[:, j]] -> (nb, nq)
+                adc += L[cells, :, j, :][np.arange(nb), :, Cd[:, j]]
+            recon = cent[cells] + np.concatenate(
+                [C[j][Cd[:, j]] for j in range(C.shape[0])], axis=1
+            )
+            rd = ((recon[:, None, :] - Qv[None, :, :]) ** 2).sum(-1)
+            valid = Mk[cells] & (vid[:, None] != qv[None, :])
+            n_mis = ((np.abs(adc - rd) > 1e-9) & valid).sum(0)
+            adc_m = np.where(valid, adc, np.inf)
+            rd_m = np.where(valid, rd, np.inf)
+            rows = []
+            for qpos in range(nq_):
+                finite = np.flatnonzero(np.isfinite(adc_m[:, qpos]))
+                if not len(finite):
+                    continue
+                order = finite[np.lexsort((vid[finite], adc_m[finite, qpos]))]
+                top = order[:TOP_K]
+                b = top[0]
+                rows.append(
+                    {
+                        "qpos": qpos,
+                        "n_mis": int(n_mis[qpos]),
+                        "cand": [
+                            {"adc": float(adc_m[i, qpos]), "vec_id": int(vid[i])}
+                            for i in top
+                        ],
+                        "best_adc": float(adc_m[b, qpos]),
+                        "best_vid": int(vid[b]),
+                        "best_rd": float(rd_m[b, qpos]),
+                        "min_rd": float(rd_m[finite, qpos].min()),
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    qid_by_pos = F.array(*[F.lit(int(q)) for q in qids])
+    partials = enc.select("vec_id", "cell", "codes").mapInPandas(scan, part_schema)
+    out = (
+        partials.groupBy("qpos")
+        .agg(
+            F.sum("n_mis").alias("n_adc_recon_mismatch"),
+            F.least(F.lit(TOP_K), F.sum(F.size("cand"))).cast("long").alias("k_returned"),
+            F.expr(
+                "min_by(struct(best_adc, best_vid, best_rd), struct(best_adc, best_vid))"
+            ).alias("b"),
+            F.min("min_rd").alias("rd_min"),
+        )
+        .select(
+            F.element_at(qid_by_pos, F.col("qpos") + 1).alias("query_id"),
+            "k_returned",
+            "n_adc_recon_mismatch",
+            (F.col("b.best_rd") <= F.col("rd_min") + F.lit(1e-9)).alias(
+                "top1_matches_recon_argmin"
+            ),
+        )
+        .orderBy("query_id")
+    )
+    from sparkml_som_spark.operators.registry import materialize_small
+
+    return materialize_small(
+        out, cleanup=(bc_cent, bc_cbs, bc_lut, bc_q, bc_qids, bc_mask)
+    )

@@ -771,3 +771,180 @@ def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .select("window_start", "event_type", "n_events", "rk")
     )
+
+
+def _dedup_guard_oracle() -> str:
+    """4-epoch unrolled admission replay over the exhaustive near-dup
+    pair set: admitted_t = epoch-t docs with no >= 0.8 pair into the
+    union of earlier admissions (within-epoch pairs do not reject —
+    both docs admit, matching the guard)."""
+    from sparkml_som_spark.operators.dedup import _NGRAM_MAX_DF, _NGRAM_ORACLE
+
+    nd = _NGRAM_ORACLE.format(thr=0.8, max_df=_NGRAM_MAX_DF)
+    # MATERIALIZED: DuckDB inlines CTEs by default, so the chained
+    # admission stages would re-evaluate the exhaustive pair CTE once
+    # per reference (measured 123 s at sf0.1 -> seconds materialized)
+    ctes = [
+        f"nd AS MATERIALIZED ({nd})",
+        "p2 AS MATERIALIZED (SELECT a_id, b_id FROM nd)",
+        "d AS MATERIALIZED (SELECT doc_id, CAST(doc_id % 4 AS INT) AS epoch FROM documents)",
+        "adm0 AS MATERIALIZED (SELECT doc_id FROM d WHERE epoch = 0)",
+    ]
+    for t in range(1, 4):
+        prev = " UNION ALL ".join(f"SELECT doc_id FROM adm{s}" for s in range(t))
+        ctes.append(
+            f"""adm{t} AS MATERIALIZED (
+          SELECT dd.doc_id FROM d dd WHERE dd.epoch = {t} AND NOT EXISTS (
+            SELECT 1 FROM p2 JOIN ({prev}) a
+              ON (p2.a_id = a.doc_id AND p2.b_id = dd.doc_id)
+              OR (p2.b_id = a.doc_id AND p2.a_id = dd.doc_id)
+          )
+        )"""
+        )
+    rows = " UNION ALL ".join(
+        f"""SELECT {t} AS epoch,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM d WHERE epoch = {t}) AS n_docs,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM adm{t}) AS n_admitted,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM d WHERE epoch = {t})
+                 - (SELECT CAST(COUNT(*) AS BIGINT) FROM adm{t}) AS n_rejected"""
+        for t in range(4)
+    )
+    return "WITH " + ",\n".join(ctes) + "\nSELECT * FROM (" + rows + ") ORDER BY epoch"
+
+
+@register(
+    "stream_minhash_dedup_guard",
+    sql=_dedup_guard_oracle(),
+    desc="streaming near-dup admission guard: each micro-batch probes the persistent MinHash band index, exact-Jaccard verifies, admits only novel docs",
+)
+def stream_minhash_dedup_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION shape of continuous near-dup control — the
+    streaming composition of `dedup_incremental_minhash`: documents
+    arrive in micro-batches (epoch = doc_id % 4, one file per epoch,
+    modification-time-ordered so AvailableNow replays them in epoch
+    order); each batch's docs are MinHash-banded, probe the PERSISTENT
+    band index of previously-ADMITTED docs, candidates are
+    exact-Jaccard verified (>= 0.8), and only unmatched docs are
+    admitted — their band rows append to the index for later batches.
+    Within-epoch near-dup pairs both admit (the guard screens against
+    the ACCEPTED corpus, not the in-flight batch), which is exactly
+    what the oracle's 4-stage unrolled replay encodes.
+
+    At 100 TB the band index is a (band, sig)-bucketed table, the
+    per-batch probe join touches only the batch's bucket rows, and
+    verification touches candidate pairs only — per-batch cost tracks
+    the batch.  State lives in queryable storage, not stream state
+    stores (the `stream_incremental_dedup_index` discipline)."""
+    import shutil
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from sparkml_som_spark.operators.dedup import (
+        exact_jaccard_verify,
+        minhash_band_buckets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(_SCRATCH, key, "docs_guard_src")
+    cache_key = f"guard:{key}"
+    if _DOC_SRC_CACHE.get(cache_key) is None:
+        shutil.rmtree(src, ignore_errors=True)
+        os.makedirs(src, exist_ok=True)
+        # one file per epoch, written sequentially with pinned mtimes so
+        # the file stream's modification-time ordering IS epoch order
+        with_epoch = docs.withColumn("epoch", (F.col("doc_id") % 4).cast("int"))
+        for e in range(4):
+            part_dir = os.path.join(src, f"_build_{e}")
+            (
+                with_epoch.where(F.col("epoch") == e)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(part_dir)
+            )
+            pf = [f for f in os.listdir(part_dir) if f.endswith(".parquet")][0]
+            dst = os.path.join(src, f"epoch_{e}.parquet")
+            shutil.move(os.path.join(part_dir, pf), dst)
+            shutil.rmtree(part_dir)
+            os.utime(dst, (1_600_000_000 + e * 100, 1_600_000_000 + e * 100))
+        _DOC_SRC_CACHE[cache_key] = src
+    admitted_dir = os.path.join(_SCRATCH, key, "guard_admitted")
+    band_dir = os.path.join(_SCRATCH, key, "guard_band_index")
+    shutil.rmtree(admitted_dir, ignore_errors=True)
+    shutil.rmtree(band_dir, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+
+    def guard(batch_df, batch_id):
+        sp = batch_df.sparkSession
+        epochs = [r["epoch"] for r in batch_df.select("epoch").distinct().orderBy("epoch").collect()]
+        for e in epochs:
+            grp = batch_df.where(F.col("epoch") == e).select("doc_id", "source", "text")
+            # band the batch ONCE; the same rows serve the probe join
+            # and (filtered to admissions) the index append — the
+            # admitted corpus is never re-shingled
+            bb = minhash_band_buckets(grp).localCheckpoint(eager=True)
+            rejected = None
+            if os.path.isdir(band_dir):
+                adm = sp.read.parquet(admitted_dir)
+                idx = sp.read.parquet(band_dir)
+                cand = (
+                    bb.alias("x")
+                    .join(
+                        idx.alias("y"),
+                        (F.col("x.band") == F.col("y.band"))
+                        & (F.col("x.sig") == F.col("y.sig")),
+                    )
+                    .select(
+                        F.col("y.doc_id").alias("a_id"),
+                        F.col("x.doc_id").alias("b_id"),
+                    )
+                    .distinct()
+                )
+                # shingle ONLY docs that appear in a candidate pair
+                ids = (
+                    cand.select(F.col("a_id").alias("doc_id"))
+                    .unionByName(cand.select(F.col("b_id").alias("doc_id")))
+                    .distinct()
+                )
+                pool = grp.unionByName(adm).join(ids, "doc_id", "semi")
+                hits = exact_jaccard_verify(pool, cand)
+                rejected = hits.select(F.col("b_id").alias("doc_id")).distinct()
+            admitted = (
+                grp.join(rejected, "doc_id", "left_anti") if rejected is not None else grp
+            )
+            admitted = admitted.localCheckpoint(eager=True)
+            admitted.write.mode("append").parquet(admitted_dir)
+            bb.join(admitted.select("doc_id"), "doc_id", "semi").write.mode(
+                "append"
+            ).parquet(band_dir)
+
+    q = stream.writeStream.foreachBatch(guard).trigger(availableNow=True).start()
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+
+    adm = spark.read.parquet(admitted_dir).withColumn(
+        "epoch", (F.col("doc_id") % 4).cast("int")
+    )
+    totals = docs.withColumn("epoch", (F.col("doc_id") % 4).cast("int")).groupBy(
+        "epoch"
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    admitted_counts = adm.groupBy("epoch").agg(F.count(F.lit(1)).alias("n_admitted"))
+    return (
+        totals.join(admitted_counts, "epoch", "left")
+        .select(
+            "epoch",
+            "n_docs",
+            F.coalesce("n_admitted", F.lit(0)).alias("n_admitted"),
+            (F.col("n_docs") - F.coalesce("n_admitted", F.lit(0))).alias("n_rejected"),
+        )
+        .orderBy("epoch")
+    )

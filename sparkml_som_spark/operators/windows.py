@@ -242,6 +242,71 @@ def interval_join_click_after_signup(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @register(
+    "asof_tolerance_join",
+    # latencies summed as exact integer micros — no division, no float
+    sql="""
+    WITH j AS (
+        SELECT p.user_id, p.event_id, p.ts, c.ts AS click_ts
+        FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    ), tolj AS (
+        SELECT user_id,
+               CASE WHEN click_ts IS NOT NULL
+                         AND epoch_us(ts) - epoch_us(click_ts) <= 7200000000
+                    THEN epoch_us(ts) - epoch_us(click_ts) END AS lat_us
+        FROM j
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(COUNT(lat_us) AS BIGINT) AS n_attributed,
+           CAST(COALESCE(SUM(lat_us), 0) AS BIGINT) AS total_latency_us
+    FROM tolj GROUP BY user_id ORDER BY user_id
+    """,
+    desc="as-of join with tolerance: most recent click within 2h before each purchase (merge_asof tolerance semantics), per-user attribution",
+)
+def asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tolerance-bounded as-of join (pandas `merge_asof(...,
+    tolerance=...)` / kdb `wj` semantics): each purchase attributes to
+    the MOST RECENT prior click only if it falls within a 2-hour
+    window, else stays unattributed — the shape ad attribution and
+    sensor alignment need, where an arbitrarily stale match is worse
+    than none.  Implementation composes the pinned union-and-carry
+    `asof_join_backward` (ONE shuffle per key, no range explosion at
+    100 TB) with a post-filter on the carried timestamp: tolerance is
+    a per-row predicate AFTER the as-of match, exactly how merge_asof
+    defines it (a match older than the tolerance nulls out rather than
+    falling back to an older row).  Latencies are summed as exact
+    integer microseconds, so the rollup carries no float at all."""
+    from sparkml_som_spark.operators.asof import asof_join_backward
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join_backward(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["ts"], suffix="_click",
+    )
+    lat = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_click"))
+    tol_us = 2 * 3600 * 1_000_000
+    with_lat = joined.withColumn(
+        "lat_us",
+        F.when(F.col("ts_click").isNotNull() & (lat <= tol_us), lat),
+    )
+    return (
+        with_lat.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.count("lat_us").alias("n_attributed"),
+            F.coalesce(F.sum("lat_us"), F.lit(0)).cast("long").alias("total_latency_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
     "asof_join_signup_attribution",
     sql="""
     SELECT e.event_id, e.user_id, e.ts, s.ts AS signup_ts
