@@ -213,6 +213,20 @@ def register(name: str, sql: str | None = None, desc: str = ""):
 # ann_ivf_som / ann_lsh_hyperplane keep their slots: their top-k path
 # moved to the salted two-phase `topk_per_query` this round and the
 # new form needs a driver verdict.
+# Round-8 second rotation: the ten remaining green-both-r6+r7 slots
+# (embedding_pca_variance, source_python_stream_datasource,
+# psi_value_drift, ratio_metric_delta_ab, survival_km_purchase,
+# text_som_topics, stream_interval_join, media_feature_pipeline,
+# stream_stateful_profile, funnel_stage_latency — all still swept by
+# the local gate) went to the nine round-8 operators so their first
+# driver verdicts land with the round that built them
+# (dedup_substring_runs, bpe_train_merges, dedup_span_coverage,
+# dedup_incremental_substring, pii_luhn_audit, quality_bigram_filter,
+# ann_ivf_pq, asof_tolerance_join, stream_minhash_dedup_guard — each
+# oracle-verified at multiple SFs before the swap) plus
+# ann_topk_bruteforce, whose top-k path moved to the salted two-phase
+# `topk_per_query` this round and needs a fresh driver verdict.
+# Combined r8 first-timers across both rotations: 21.
 _PRIORITY: tuple[str, ...] = (
     "som_cluster_summary",
     "q2_min_price_supplier",
@@ -232,24 +246,24 @@ _PRIORITY: tuple[str, ...] = (
     "stream_countmin_merge",
     "source_python_stream_writer",
     "open_orders_backlog",
-    "embedding_pca_variance",
+    "dedup_substring_runs",
     "dedup_canonical_pick",
     "table_diff_reconcile",
     "fuzzy_match_customers",
     "ann_matryoshka_prefix",
-    "source_python_stream_datasource",
+    "bpe_train_merges",
     "kwic_term_context",
     "kanon_quasi_identifier_audit",
-    "psi_value_drift",
+    "dedup_span_coverage",
     "sessionize_two_phase",
-    "ratio_metric_delta_ab",
+    "dedup_incremental_substring",
     "skew_salted_join_segments",
-    "survival_km_purchase",
+    "pii_luhn_audit",
     "dedup_incremental_minhash",
     "join_key_skew_audit",
     "q8_market_share",
     "q13_order_count_distribution",
-    "text_som_topics",
+    "quality_bigram_filter",
     "embedding_pq_encode",
     "ann_pq_adc",
     "dpp_partitioned_fact_join",
@@ -259,10 +273,10 @@ _PRIORITY: tuple[str, ...] = (
     "ndcg_label_retrieval",
     "cusum_drift_revenue",
     "data_freshness_audit",
-    "stream_interval_join",
-    "media_feature_pipeline",
-    "stream_stateful_profile",
-    "funnel_stage_latency",
+    "ann_ivf_pq",
+    "asof_tolerance_join",
+    "stream_minhash_dedup_guard",
+    "ann_topk_bruteforce",
     # continuity keeper: a representative TPC-H row stays driver-visible
     "q1_pricing_summary",
 )

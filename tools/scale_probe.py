@@ -91,6 +91,16 @@ QUERIES = [
     "window_rank_family_events",   # ntile/percent_rank/cume_dist windows
     "stream_trending_topk",        # windowed counts + bounded post-rank
     "stream_left_outer_join",      # watermark-gated outer join state
+    # round-8 wave
+    "dedup_substring_runs",        # positional-gram index + diagonal chaining
+    "dedup_span_coverage",         # span interval-union per doc
+    "dedup_incremental_substring", # delta probes the persisted gram index
+    "bpe_train_merges",            # corpus pass + bounded vocab merge loop
+    "pii_luhn_audit",              # codegen digit fold, bounded rollup
+    "quality_bigram_filter",       # bigram broadcast + two-phase rank cut
+    "ann_ivf_pq",                  # residual PQ + probed-cell partial top-k
+    "asof_tolerance_join",         # carry-forward asof + tolerance filter
+    "stream_minhash_dedup_guard",  # per-batch band probe + verified admission
 ]
 
 
