@@ -1,23 +1,32 @@
-"""Hot-user skew probe for the stream-stream LEFT OUTER interval join
-(VERDICT r7 ask #7) — the last skew family without a measurement: join
-STATE under a dominant key.
+"""Hot-user skew probe for stream-stream interval joins (VERDICT r7
+ask #7) — the last skew family without a measurement: join STATE under
+a dominant key.
 
-Builds synthetic signup/click streams with id arithmetic only (no RNG):
-in the HOT variant one user owns ~90% of both sides; the UNIFORM
-variant spreads the same rows over 1000 users.  Events are written as 8
-time-range files with ascending pinned mtimes, so AvailableNow replays
-them as 8 micro-batches with an advancing watermark — state from old
-batches must evict exactly as it would on a live stream.
+Structured Streaming's symmetric-hash join keeps ALL buffered rows for
+a join key in one state-store partition and linearly scans them per
+matching input row, so a user owning ~90% of both sides makes per-key
+work QUADRATIC in that user's in-watermark row count.  The first probe
+run confirmed this the hard way: hot 60k-rows-per-side ran >20 minutes
+while the uniform twin finished in seconds.  This probe therefore:
 
-Measures, for {uniform, hot} x {1x = 60k, 100x = 6M rows/side}:
-- wall-clock of the full drain,
-- max state rows + state memory across micro-batches (the
-  stateOperators progress metrics — the number that grows without
-  bound if watermark eviction breaks),
-- output row count (sanity: hot and uniform runs must conserve rows).
+- measures uniform vs hot at 1x (60k rows/side) and 10x (600k) with a
+  HARD CAP (600 s — a capped run records wall=cap, truncated=true; the
+  cliff is the finding, not a number to wait on);
+- measures the standard MITIGATION: fold event time into the join key
+  (bucket = floor(epoch/600 s); a signup in bucket b joins clicks in
+  buckets {b, b+1} as a union of two equi-joins).  The hot user's
+  state shards across time buckets, so the per-key scan is bounded by
+  bucket span instead of the whole watermark horizon.  Inner-join
+  semantics for the mitigation variants (state behavior is the
+  phenomenon; outer-ness is orthogonal).
+
+Events use id arithmetic only (no RNG); 8 time-range files with
+ascending pinned mtimes so AvailableNow replays them as 8 watermark-
+advancing micro-batches.
 
 Usage: PYTHONPATH=/root/repo python tools/stream_join_skew_probe.py
-Writes one JSON line; the measured rows go into SCALE.md.
+Writes one JSON line per variant as it completes; the measured rows go
+into SCALE.md.
 """
 
 from __future__ import annotations
@@ -31,8 +40,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_SMALL = 60_000
-N_BIG = 6_000_000
+N_BIG = 600_000  # 10x
 N_FILES = 8
+CAP_SEC = 600
+BUCKET_SEC = 600
 SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "stream_skew_probe")
 
 
@@ -56,10 +67,10 @@ def build_side(spark, n: int, hot: bool, etype: str, path: str) -> None:
     os.makedirs(path, exist_ok=True)
     per = n // N_FILES
     for f in range(N_FILES):
+        lo = i >= f * per
+        hi = i < (f + 1) * per if f < N_FILES - 1 else i >= f * per
         part = os.path.join(path, f"_b{f}")
-        df.where((i >= f * per) & (i < (f + 1) * per if f < N_FILES - 1 else i >= f * per)).coalesce(
-            1
-        ).write.mode("overwrite").parquet(part)
+        df.where(lo & hi).coalesce(1).write.mode("overwrite").parquet(part)
         pq = [x for x in os.listdir(part) if x.endswith(".parquet")][0]
         dst = os.path.join(path, f"f{f}.parquet")
         shutil.move(os.path.join(part, pq), dst)
@@ -67,12 +78,54 @@ def build_side(spark, n: int, hot: bool, etype: str, path: str) -> None:
         os.utime(dst, (1_600_000_000 + f * 100, 1_600_000_000 + f * 100))
 
 
-def run(spark, n: int, hot: bool) -> dict:
+def bucketed_inner(s_stream, c_stream, window_sec: int = 2):
+    """Inner interval join with event time folded into the equi-key:
+    per-key state is bounded by the bucket span, not the watermark
+    horizon — the hot-key mitigation for stream-stream joins."""
+    from pyspark.sql import functions as F
+
+    s = s_stream.withWatermark("ts", "1 hour").select(
+        "user_id",
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("s_ts"),
+        F.floor(F.unix_timestamp("ts") / BUCKET_SEC).alias("s_bucket"),
+    )
+    c = c_stream.withWatermark("ts", "1 hour").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+        F.floor(F.unix_timestamp("ts") / BUCKET_SEC).alias("c_bucket"),
+    )
+    cond_time = (F.col("c_ts") >= F.col("s_ts")) & (
+        F.col("c_ts") < F.col("s_ts") + F.expr(f"INTERVAL {window_sec} SECONDS")
+    )
+    cols = [
+        "user_id",
+        "signup_id",
+        "click_id",
+        (F.unix_timestamp("c_ts") - F.unix_timestamp("s_ts")).alias("secs_after"),
+    ]
+    j_same = s.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_bucket") == F.col("s_bucket"))
+        & cond_time,
+    ).select(*cols)
+    j_next = s.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_bucket") == F.col("s_bucket") + 1)
+        & cond_time,
+    ).select(*cols)
+    return j_same.unionByName(j_next)
+
+
+def run(spark, n: int, hot: bool, variant: str) -> dict:
     from pyspark.sql import functions as F
 
     from sparkml_som_spark.streaming.windows import interval_join_stream_left
 
-    tag = f"{'hot' if hot else 'uni'}_{n}"
+    tag = f"{variant}_{'hot' if hot else 'uni'}_{n}"
     s_path = os.path.join(SCRATCH, f"signup_{tag}")
     c_path = os.path.join(SCRATCH, f"click_{tag}")
     build_side(spark, n, hot, "signup", s_path)
@@ -86,12 +139,13 @@ def run(spark, n: int, hot: bool) -> dict:
             .parquet(p)
         )
 
-    # 2-second interval window: rows are 1 s apart globally, so match
-    # fan-out stays ~1-2 per signup in BOTH variants — the probe
-    # isolates state/task skew, not a semantic match explosion (a hot
-    # user with dense timestamps under a wide window is a data-shape
-    # question, not a state-partitioning one)
-    out = interval_join_stream_left(src(s_path), src(c_path), window="2 seconds")
+    if variant == "outer":
+        # 2 s window: rows are 1 s apart globally, so match fan-out is
+        # ~1-2 per signup in both variants — the probe isolates state
+        # skew, not a semantic match explosion
+        out = interval_join_stream_left(src(s_path), src(c_path), window="2 seconds")
+    else:
+        out = bucketed_inner(src(s_path), src(c_path))
     sink = f"skewprobe_{tag}"
     t0 = time.time()
     q = (
@@ -101,7 +155,7 @@ def run(spark, n: int, hot: bool) -> dict:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(1800)
+    finished = q.awaitTermination(CAP_SEC)
     wall = time.time() - t0
     max_rows = 0
     max_mem = 0
@@ -109,17 +163,24 @@ def run(spark, n: int, hot: bool) -> dict:
         for so in p.get("stateOperators", []):
             max_rows = max(max_rows, so.get("numRowsTotal", 0))
             max_mem = max(max_mem, so.get("memoryUsedBytes", 0))
-    n_out = spark.table(sink).count()
-    spark.catalog.dropTempView(sink)
+    n_out = spark.table(sink).count() if finished else -1
     q.stop()
-    return {
+    try:
+        spark.catalog.dropTempView(sink)
+    except Exception:
+        pass
+    rec = {
+        "variant": variant,
         "rows_per_side": n,
         "hot": hot,
         "wall_sec": round(wall, 1),
+        "truncated": not finished,
         "max_state_rows": max_rows,
         "max_state_mb": round(max_mem / 1e6, 1),
         "output_rows": n_out,
     }
+    print(json.dumps(rec), flush=True)
+    return rec
 
 
 def main() -> None:
@@ -127,18 +188,13 @@ def main() -> None:
 
     spark = get_spark("stream-join-skew-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    res = {
-        "uniform_1x": run(spark, N_SMALL, hot=False),
-        "hot_1x": run(spark, N_SMALL, hot=True),
-        "uniform_100x": run(spark, N_BIG, hot=False),
-        "hot_100x": run(spark, N_BIG, hot=True),
-    }
-    res["wall_ratio_hot_vs_uniform_100x"] = round(
-        res["hot_100x"]["wall_sec"] / max(res["uniform_100x"]["wall_sec"], 0.1), 2
-    )
-    res["state_ratio_hot_vs_uniform_100x"] = round(
-        res["hot_100x"]["max_state_rows"] / max(res["uniform_100x"]["max_state_rows"], 1), 2
-    )
+    res = {}
+    res["outer_uniform_1x"] = run(spark, N_SMALL, hot=False, variant="outer")
+    res["outer_hot_1x"] = run(spark, N_SMALL, hot=True, variant="outer")
+    res["outer_uniform_10x"] = run(spark, N_BIG, hot=False, variant="outer")
+    res["bucketed_hot_1x"] = run(spark, N_SMALL, hot=True, variant="bucketed")
+    res["bucketed_hot_10x"] = run(spark, N_BIG, hot=True, variant="bucketed")
+    res["bucketed_uniform_10x"] = run(spark, N_BIG, hot=False, variant="bucketed")
     print(json.dumps({"stream_join_skew": res}))
     shutil.rmtree(SCRATCH, ignore_errors=True)
     spark.stop()
