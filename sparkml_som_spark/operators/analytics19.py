@@ -103,3 +103,37 @@ def sql_script_price_band_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.scripting.enabled", prev)
+
+
+@register(
+    "sql_group_by_all",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT)    AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS total_value
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+    desc="GROUP BY ALL / ORDER BY ALL SQL front end: non-aggregate columns inferred by the analyzer, identical semantics in both engines",
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analyst-ergonomics front end Spark 4 and DuckDB both ship:
+    `GROUP BY ALL` infers the grouping set from the non-aggregate
+    select items and `ORDER BY ALL` orders by every output column
+    left-to-right — the SAME SQL string runs verbatim on both engines,
+    so the entry pins that the two analyzers infer the SAME grouping
+    (a divergence in inference, not just in data, breaks the hash).
+    Compiles to the ordinary hash-aggregate + sort; nothing new at
+    scale, which is the point: sugar must not change the plan."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sgs_gba_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT)    AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS total_value
+        FROM sgs_gba_orders
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )

@@ -430,3 +430,94 @@ def quality_bigram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("source")
     )
     return materialize_small(out, cleanup=tuple(handles))
+
+
+# --------------------------------------------------------------------------
+# SemDeDup-shaped embedding dedup: coarse-cluster, then dedup WITHIN
+# clusters only — the cost shape that makes semantic dedup affordable.
+# --------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.95
+# grid covers the observed embedding support (elements in ~[-0.53, 0.46]);
+# the cell key is ONE float expression per dim (no summation), so both
+# engines floor the identical IEEE double
+_SEMDEDUP_CELL = "CAST(floor(({e} + 0.6) * 8) AS INT)"
+
+
+@register(
+    "semdedup_grid_cosine",
+    sql=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v,
+             {_SEMDEDUP_CELL.format(e="embedding[1]")} AS cx,
+             {_SEMDEDUP_CELL.format(e="embedding[2]")} AS cy
+      FROM embeddings
+    ), dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM e a JOIN e b
+        ON a.cx = b.cx AND a.cy = b.cy AND a.vec_id < b.vec_id
+       AND list_cosine_similarity(a.v, b.v) >= {_SEMDEDUP_TAU}
+    )
+    SELECT e.label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(COUNT(d.vec_id) AS BIGINT) AS n_dropped,
+           CAST(COUNT(*) - COUNT(d.vec_id) AS BIGINT) AS n_kept
+    FROM e LEFT JOIN dropped d ON d.vec_id = e.vec_id
+    GROUP BY e.label ORDER BY e.label
+    """,
+    desc=f"SemDeDup-shaped embedding dedup: grid-blocked cells, within-cell cosine >= {_SEMDEDUP_TAU} drops all-but-lowest-id, per-label accounting",
+)
+def semdedup_grid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup the way SemDeDup (Abbas et al. 2023) makes it
+    affordable: never all-pairs — coarse-cluster the embeddings, then
+    compare ONLY within clusters, dropping every vector that has a
+    lower-id neighbor above the similarity threshold in its cluster.
+    Here the coarse quantizer is a declarative 2-D grid over the first
+    two embedding dims (one float expression per dim, identical IEEE
+    result in both engines), which is what puts the WHOLE pipeline —
+    clustering included — under the full value-hash oracle; the
+    production swap-in is k-means/SOM cells (`ann_ivf_som`'s
+    quantizer), same within-cell shape.  Cross-cell near-dup pairs are
+    deliberately out of contract — that is SemDeDup's documented
+    recall trade for turning N^2 into sum(cell^2).  Scale: the join is
+    equi-keyed on the cell, fan-out bounded by cell occupancy;
+    `dedup_embedding_cosine` carries the exact/LSH forms."""
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.floor((F.element_at(F.col("embedding").cast("array<double>"), 1) + 0.6) * 8)
+        .cast("int")
+        .alias("cx"),
+        F.floor((F.element_at(F.col("embedding").cast("array<double>"), 2) + 0.6) * 8)
+        .cast("int")
+        .alias("cy"),
+    )
+    from sparkml_som_spark.functions import cosine
+
+    a = emb.select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("va"), "cx", "cy"
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("vb"), "cx", "cy"
+    )
+    dropped = (
+        a.join(b, ["cx", "cy"])
+        .where(
+            (F.col("a_id") < F.col("b_id"))
+            & (cosine(F.col("va"), F.col("vb")) >= _SEMDEDUP_TAU)
+        )
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    return (
+        emb.join(dropped, "vec_id", "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.count("is_dropped").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.count("is_dropped")).alias("n_kept"),
+        )
+        .orderBy("label")
+    )
