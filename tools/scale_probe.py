@@ -101,6 +101,8 @@ QUERIES = [
     "ann_ivf_pq",                  # residual PQ + probed-cell partial top-k
     "asof_tolerance_join",         # carry-forward asof + tolerance filter
     "stream_minhash_dedup_guard",  # per-batch band probe + verified admission
+    "semdedup_grid_cosine",        # grid-blocked within-cell cosine dedup
+    "sql_group_by_all",            # GROUP BY ALL sugar == plain hash agg
 ]
 
 
