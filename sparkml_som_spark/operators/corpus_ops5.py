@@ -46,7 +46,11 @@ _BPE_MERGES = 8
 _BPE_PASSES = 6
 
 
-def _bpe_oracle() -> str:
+def _bpe_oracle(final_select: str | None = None) -> str:
+    """The 8-stage BPE merge replay as DuckDB CTEs.  ``final_select``
+    overrides the output: the trainer entry reads the merge table, the
+    apply entry reads the FINAL segmentation (words{n})."""
+
     def rep(col: str, n: int) -> str:
         e = col
         for _ in range(n):
@@ -76,11 +80,13 @@ def _bpe_oracle() -> str:
       FROM words{k}, merge{k}
     )"""
         )
-    sel = "\nUNION ALL\n".join(
-        f"SELECT {k + 1} AS merge_rank, l AS left_sym, r AS right_sym, cnt AS pair_count FROM merge{k}"
-        for k in range(_BPE_MERGES)
-    )
-    return "WITH " + ",\n".join(ctes) + "\nSELECT * FROM (" + sel + ") ORDER BY merge_rank"
+    if final_select is None:
+        sel = "\nUNION ALL\n".join(
+            f"SELECT {k + 1} AS merge_rank, l AS left_sym, r AS right_sym, cnt AS pair_count FROM merge{k}"
+            for k in range(_BPE_MERGES)
+        )
+        final_select = "SELECT * FROM (" + sel + ") ORDER BY merge_rank"
+    return "WITH " + ",\n".join(ctes) + "\n" + final_select
 
 
 @register(
@@ -107,6 +113,18 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge k+1) under the value hash.  The per-iteration argmax is a
     one-row collect; the word table is persisted per iteration and
     released at the end.""".format(n=_BPE_MERGES, p=_BPE_PASSES)
+    merges, _words, held = _learn_bpe(spark, sf_dir)
+    for h in held:
+        h.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_rank int, left_sym string, right_sym string, pair_count long"
+    )
+
+
+def _learn_bpe(spark: SparkSession, sf_dir: str):
+    """The shared BPE merge loop: returns (merges, final words DF with
+    the post-merge `spaced` segmentation, persist handles for the
+    caller to release)."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
     words = (
         docs.select(F.explode(word_tokens(F.col("text"))).alias("word"))
@@ -149,11 +167,70 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         for _ in range(_BPE_PASSES):
             col = F.replace(col, F.lit(pat), F.lit(rep))
         words = words.withColumn("spaced", col)
-    for h in held:
-        h.unpersist()
-    return spark.createDataFrame(
-        merges, "merge_rank int, left_sym string, right_sym string, pair_count long"
+    return merges, words, held
+
+
+_BPE_APPLY_SELECT = f"""
+    , tok AS (
+      SELECT word,
+             CAST(len(string_split(trim(spaced), ' ')) AS BIGINT) AS n_tok,
+             CAST(len(word) AS BIGINT) AS n_chars
+      FROM words{_BPE_MERGES}
+    ), stream AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
     )
+    SELECT s.source,
+           CAST(COUNT(*) AS BIGINT)  AS n_words,
+           CAST(SUM(t.n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(t.n_tok) AS BIGINT)   AS n_bpe_tokens,
+           ROUND(SUM(t.n_chars) * 1.0 / SUM(t.n_tok), 4) AS chars_per_token
+    FROM stream s JOIN tok t USING (word)
+    WHERE s.word <> ''
+    GROUP BY s.source ORDER BY s.source
+"""
+
+
+@register(
+    "bpe_apply_segment",
+    sql=_bpe_oracle(final_select=_BPE_APPLY_SELECT),
+    desc="apply the trained BPE merges corpus-wide: per-source token counts and chars-per-token compression under the full oracle",
+)
+def bpe_apply_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER half of tokenizer training — applying the learned
+    merges to the corpus: every word segments under the final merge
+    table, and the per-source rollup reports word/char/BPE-token
+    counts plus chars-per-token (the compression a tokenizer buys,
+    the number that drives context-window budgeting).  Scale shape:
+    segmentation is a property of the word TYPE, so the corpus stream
+    joins the vocabulary-bounded (word -> n_tokens) map — broadcast at
+    any corpus size — and never re-runs merges per occurrence.  The
+    oracle replays training AND application end-to-end, so the entry
+    pins the full train->apply pipeline, not just the merge table."""
+    _merges, words, held = _learn_bpe(spark, sf_dir)
+    tok = words.select(
+        "word",
+        F.size(F.split(F.trim(F.col("spaced")), " ")).cast("long").alias("n_tok"),
+        F.length("word").cast("long").alias("n_chars"),
+    )
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    stream = docs.select(
+        "source", F.explode(word_tokens(F.col("text"))).alias("word")
+    ).where(F.col("word") != "")
+    out = (
+        stream.join(F.broadcast(tok), "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.sum("n_tok").cast("long").alias("n_bpe_tokens"),
+            F.round(F.sum("n_chars") / F.sum("n_tok"), 4).alias("chars_per_token"),
+        )
+        .orderBy("source")
+    )
+    from sparkml_som_spark.operators.registry import materialize_small
+
+    return materialize_small(out, cleanup=tuple(held))
 
 
 # --------------------------------------------------------------------------

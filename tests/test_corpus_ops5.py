@@ -181,3 +181,39 @@ def test_stream_guard_admissions_monotone(spark, registry):
     assert rows[0]["n_rejected"] == 0
     for r in rows:
         assert r["n_admitted"] + r["n_rejected"] == r["n_docs"]
+
+
+def test_bpe_apply_consistent_with_merges(spark, registry):
+    """chars_per_token must be >= 1 (merges only shrink token counts),
+    and with zero merges it would be exactly 1 — so after 8 merges on
+    this corpus it must exceed 1; totals conserve across sources."""
+    rows = registry["bpe_apply_segment"].fn(spark, SF).collect()
+    from sparkml_som_spark.sources import load_table as lt
+
+    n_words_expected = (
+        lt(spark, SF, "documents")
+        .selectExpr("explode(split(lower(text), ' ')) AS w")
+        .where("w <> ''")
+        .count()
+    )
+    assert sum(r["n_words"] for r in rows) == n_words_expected
+    for r in rows:
+        assert r["n_bpe_tokens"] <= r["n_chars"]
+        assert r["chars_per_token"] >= 1.0
+    assert any(r["chars_per_token"] > 1.0 for r in rows)
+
+
+def test_span_explain_text_matches_length(spark, registry):
+    """Every explained span's text must contain exactly
+    longest_run_tokens tokens and appear verbatim in BOTH docs."""
+    rows = registry["dedup_span_explain"].fn(spark, SF).collect()
+    assert rows
+    docs = {
+        r["doc_id"]: r["text"].lower()
+        for r in load_table(spark, SF, "documents").collect()
+    }
+    for r in rows[:10]:
+        toks = r["span_text"].split(" ")
+        assert len(toks) == r["longest_run_tokens"]
+        assert r["span_text"] in docs[r["a_id"]]
+        assert r["span_text"] in docs[r["b_id"]]

@@ -103,6 +103,8 @@ QUERIES = [
     "stream_minhash_dedup_guard",  # per-batch band probe + verified admission
     "semdedup_grid_cosine",        # grid-blocked within-cell cosine dedup
     "sql_group_by_all",            # GROUP BY ALL sugar == plain hash agg
+    "bpe_apply_segment",           # vocab-bounded segmentation map join
+    "dedup_span_explain",          # chain islands + token-slice join back
 ]
 
 
