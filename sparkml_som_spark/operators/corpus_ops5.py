@@ -69,7 +69,7 @@ def _bpe_oracle(final_select: str | None = None) -> str:
     for k in range(_BPE_MERGES):
         ctes.append(
             f"""pairs{k} AS (
-      SELECT s[i] AS l, s[i+1] AS r, SUM(freq) AS cnt
+      SELECT s[i] AS l, s[i+1] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
       FROM (SELECT freq, string_split(trim(spaced), ' ') AS s FROM words{k}),
            LATERAL (SELECT unnest(range(1, len(s))) AS i) t
       GROUP BY 1, 2
