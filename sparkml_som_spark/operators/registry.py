@@ -227,51 +227,89 @@ def register(name: str, sql: str | None = None, desc: str = ""):
 # ann_topk_bruteforce, whose top-k path moved to the salted two-phase
 # `topk_per_query` this round and needs a fresh driver verdict.
 # Combined r8 first-timers across both rotations: 21.
+# Round-9 first rotation: twenty-two slots green BOTH r7+r8
+# (stream_sliding_window, ann_ivf_som, ann_lsh_hyperplane,
+# stream_session_window, stream_incremental_batches,
+# stream_incremental_dedup_index, stream_ohlc_bars,
+# stream_countmin_merge, source_python_stream_writer,
+# open_orders_backlog, fuzzy_match_customers, sessionize_two_phase,
+# skew_salted_join_segments, dedup_incremental_minhash,
+# join_key_skew_audit, embedding_pq_encode, ann_pq_adc,
+# dpp_partitioned_fact_join, sink_bucketed_join_revenue,
+# stream_left_outer_join, ndcg_label_retrieval, cusum_drift_revenue —
+# all still swept by the local gate) went to never-driver-sampled
+# entries, prioritized per VERDICT r8 ask #2: the analytics21-27
+# metric suite (gains_lift_price_bands, info_gain_urgency_features,
+# quota_largest_remainder), the forecasting family
+# (ewma_forecast_daily, forecast_interval_coverage), the round-8
+# additions the judge hand-verified but the driver never sampled
+# (semdedup_grid_cosine, sql_group_by_all, bpe_apply_segment), the
+# rest of the judge's adversarial re-run set (dedup_span_explain,
+# near_dup_rate_by_source, quality_char_bigram_logloss,
+# reachability_3hop_nations, upsert_scd1_orders,
+# silhouette_simplified_labels, som_per_label_models,
+# stream_trending_topk, sketch_merge_rolling_distinct,
+# split_train_val_test, media_video_frame_plan,
+# histogram_event_values), the VERDICT-ask-#5 entry
+# (source_python_datasource_writer — its frozen-best question gets a
+# driver timing alongside the verdict), and
+# dedup_connected_components (its convergence loop is reworked this
+# round per VERDICT ask #4, so the new form needs a driver verdict).
+# Each incoming entry re-verified green via tools/check_oracle.py
+# before the swap.  Stayers: the 21 r8 first-timers (one verdict each;
+# bpe_train_merges re-greens here after the BIGINT oracle cast),
+# ann_topk_bruteforce (one verdict on its two-phase form),
+# dedup_canonical_pick (reworked this round per VERDICT ask #7 — the
+# new shared-edge-set form needs a fresh verdict), the two continuity
+# keepers, and three reserve slots (q8_market_share,
+# q13_order_count_distribution, cross_source_overlap) that the
+# second rotation hands to the round-9 operators once they are
+# oracle-verified.
 _PRIORITY: tuple[str, ...] = (
     "som_cluster_summary",
     "q2_min_price_supplier",
     "q11_important_parts",
     "q15_top_supplier",
-    "stream_sliding_window",
-    "ann_ivf_som",
-    "ann_lsh_hyperplane",
-    "stream_session_window",
-    "stream_incremental_batches",
-    "stream_incremental_dedup_index",
+    "gains_lift_price_bands",
+    "info_gain_urgency_features",
+    "quota_largest_remainder",
+    "ewma_forecast_daily",
+    "forecast_interval_coverage",
+    "semdedup_grid_cosine",
     "q17_small_qty_revenue",
     "q20_excess_suppliers",
-    "stream_ohlc_bars",
+    "sql_group_by_all",
     "q21_waiting_suppliers",
     "bloom_semijoin_customers",
-    "stream_countmin_merge",
-    "source_python_stream_writer",
-    "open_orders_backlog",
+    "bpe_apply_segment",
+    "dedup_span_explain",
+    "near_dup_rate_by_source",
     "dedup_substring_runs",
     "dedup_canonical_pick",
     "table_diff_reconcile",
-    "fuzzy_match_customers",
+    "quality_char_bigram_logloss",
     "ann_matryoshka_prefix",
     "bpe_train_merges",
     "kwic_term_context",
     "kanon_quasi_identifier_audit",
     "dedup_span_coverage",
-    "sessionize_two_phase",
+    "reachability_3hop_nations",
     "dedup_incremental_substring",
-    "skew_salted_join_segments",
+    "upsert_scd1_orders",
     "pii_luhn_audit",
-    "dedup_incremental_minhash",
-    "join_key_skew_audit",
+    "silhouette_simplified_labels",
+    "som_per_label_models",
     "q8_market_share",
     "q13_order_count_distribution",
     "quality_bigram_filter",
-    "embedding_pq_encode",
-    "ann_pq_adc",
-    "dpp_partitioned_fact_join",
-    "sink_bucketed_join_revenue",
-    "stream_left_outer_join",
+    "stream_trending_topk",
+    "sketch_merge_rolling_distinct",
+    "split_train_val_test",
+    "media_video_frame_plan",
+    "histogram_event_values",
     "cross_source_overlap",
-    "ndcg_label_retrieval",
-    "cusum_drift_revenue",
+    "source_python_datasource_writer",
+    "dedup_connected_components",
     "data_freshness_audit",
     "ann_ivf_pq",
     "asof_tolerance_join",
