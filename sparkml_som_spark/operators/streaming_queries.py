@@ -208,6 +208,54 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_interval_join_bucketed",
+    # output-equivalent to stream_interval_join by construction (the
+    # {b, b+1} bucket probe covers every c_ts in [s_ts, s_ts + 10 min)
+    # because the bucket span equals the window), so the SAME interval-
+    # join oracle pins the mitigated topology's results
+    sql="""
+    SELECT s.user_id,
+           s.event_id AS signup_id,
+           c.event_id AS click_id,
+           CAST(date_diff('second', s.ts, c.ts) AS BIGINT) AS secs_after
+    FROM (SELECT * FROM events WHERE event_type = 'signup') s
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = s.user_id
+     AND c.ts >= s.ts
+     AND c.ts <  s.ts + INTERVAL 10 MINUTE
+    """,
+    desc="hot-key-resilient stream-stream interval join: event time folded into the equi-key shards per-user join state across buckets; same oracle as the textbook form",
+)
+def stream_interval_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MITIGATED form of the stream-stream interval join — the
+    round-8 skew probe's finding converted into registered capability
+    (VERDICT r8 ask #3).  Structured Streaming's symmetric-hash join
+    scans one state-store partition's full buffer per matching input
+    row, so a dominant user makes per-key work quadratic in its
+    in-watermark rows (measured 12x cliff at 60k hot rows/side,
+    SCALE.md "stream-stream join skew").  Folding event time into the
+    join key (bucket span == join window; probe buckets {b, b+1})
+    bounds the per-key scan by the bucket span — flat at 10x hot volume
+    in the probe.  Results are identical to `stream_interval_join` by
+    construction: the shared oracle value-hashes that claim, and
+    tests/test_streaming_queries.py pins batch-side `exceptAll`
+    equivalence in both directions."""
+    from pyspark.sql import functions as F
+
+    from sparkml_som_spark.streaming.windows import interval_join_stream_bucketed
+
+    s_stream, key = _stream_source(spark, sf_dir)
+    c_stream, _ = _stream_source(spark, sf_dir)
+    out = interval_join_stream_bucketed(
+        s_stream.where(F.col("event_type") == "signup"),
+        c_stream.where(F.col("event_type") == "click"),
+    )
+    return _run_to_memory(
+        spark, out, f"sgs_stream_ijoin_bkt_{key}".replace(".", "_"), "append"
+    )
+
+
+@register(
     "stream_stateful_profile",
     # Update mode emits one row per user per micro-batch; AvailableNow
     # over the static snapshot (no maxFilesPerTrigger) is ONE batch, so

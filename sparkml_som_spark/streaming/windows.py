@@ -170,3 +170,74 @@ def interval_join_stream_left(
             (F.unix_timestamp("c_ts") - F.unix_timestamp("s_ts")).alias("secs_after"),
         )
     )
+
+
+def interval_join_stream_bucketed(
+    signups: DataFrame,
+    clicks: DataFrame,
+    window_sec: int = 600,
+    bucket_sec: int = 600,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Hot-key-resilient stream-stream interval join: fold event time
+    into the equi-join key (bucket = floor(epoch / bucket_sec); a
+    signup in bucket b joins clicks in buckets {b, b+1} as a union of
+    two equi-joins).  Output-equivalent to `interval_join_stream` —
+    pinned by the batch `exceptAll` test and the shared DuckDB oracle —
+    but the join STATE for one user shards across time buckets, so the
+    symmetric-hash join's per-key linear scan is bounded by the bucket
+    span instead of the whole watermark horizon.
+
+    Why it exists: Structured Streaming keeps ALL buffered rows for a
+    join key in one state-store partition and scans them per matching
+    input row, so a user owning ~90% of both sides makes per-key work
+    QUADRATIC in that user's in-watermark rows.  The round-8 probe
+    (tools/stream_join_skew_probe.py, SCALE.md "stream-stream join
+    skew") measured the cliff at 12x on 60k hot rows/side — and this
+    exact fold flat at 10x hot volume.  At 100 TB firehose scale with
+    power-law users, this form IS the runnable topology.
+
+    Requires bucket_sec >= window_sec so a click within `window_sec`
+    after its signup lands in the same or next bucket (floor((s +
+    w - 1) / B) <= floor(s / B) + 1 whenever w <= B) — enforced here
+    rather than silently missing matches."""
+    if bucket_sec < window_sec:
+        raise ValueError(
+            f"bucket_sec ({bucket_sec}) must be >= window_sec ({window_sec}): "
+            "a {b, b+1} bucket probe only covers join windows up to one "
+            "bucket span"
+        )
+    s = signups.withWatermark("ts", watermark).select(
+        "user_id",
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("s_ts"),
+        F.floor(F.unix_timestamp("ts") / bucket_sec).alias("s_bucket"),
+    )
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+        F.floor(F.unix_timestamp("ts") / bucket_sec).alias("c_bucket"),
+    )
+    cond_time = (F.col("c_ts") >= F.col("s_ts")) & (
+        F.col("c_ts") < F.col("s_ts") + F.expr(f"INTERVAL {window_sec} SECONDS")
+    )
+    cols = [
+        "user_id",
+        "signup_id",
+        "click_id",
+        (F.unix_timestamp("c_ts") - F.unix_timestamp("s_ts")).alias("secs_after"),
+    ]
+    j_same = s.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_bucket") == F.col("s_bucket"))
+        & cond_time,
+    ).select(*cols)
+    j_next = s.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_bucket") == F.col("s_bucket") + 1)
+        & cond_time,
+    ).select(*cols)
+    return j_same.unionByName(j_next)

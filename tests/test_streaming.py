@@ -142,6 +142,59 @@ def test_interval_join_stream_matches_batch(spark, event_stream):
     assert _as_sets(got) == _as_sets(want)
 
 
+def test_bucketed_interval_join_equivalent_to_textbook(spark, event_stream):
+    """The hot-key mitigation (event time folded into the equi-key,
+    {b, b+1} bucket probe) must be OUTPUT-IDENTICAL to the textbook
+    stream-stream interval join — `exceptAll` in both directions, so
+    a duplicated match (a click caught by both bucket probes) or a
+    dropped match (window crossing more than one bucket boundary)
+    both fail, not just set-level agreement."""
+    import pyspark.sql.functions as F
+
+    from sparkml_som_spark.streaming.windows import (
+        interval_join_stream,
+        interval_join_stream_bucketed,
+        run_stream_to_memory,
+    )
+
+    stream, _batch = event_stream
+    plain = interval_join_stream(
+        stream.where(F.col("event_type") == "signup"),
+        stream.where(F.col("event_type") == "click"),
+    )
+    bucketed = interval_join_stream_bucketed(
+        stream.where(F.col("event_type") == "signup"),
+        stream.where(F.col("event_type") == "click"),
+    )
+    for out, name in ((plain, "t_ijoin_plain"), (bucketed, "t_ijoin_bkt")):
+        q = run_stream_to_memory(out, name, mode="append")
+        q.awaitTermination(120)
+        q.stop()
+    got_plain = spark.sql("SELECT * FROM t_ijoin_plain")
+    got_bkt = spark.sql("SELECT * FROM t_ijoin_bkt")
+    assert got_plain.count() > 0
+    assert got_bkt.exceptAll(got_plain).count() == 0
+    assert got_plain.exceptAll(got_bkt).count() == 0
+
+
+def test_bucketed_interval_join_rejects_undersized_bucket(spark, event_stream):
+    """bucket_sec < window_sec would silently MISS matches whose click
+    lands two buckets ahead; the helper must refuse instead."""
+    import pytest as _pytest
+    import pyspark.sql.functions as F
+
+    from sparkml_som_spark.streaming.windows import interval_join_stream_bucketed
+
+    stream, _batch = event_stream
+    with _pytest.raises(ValueError, match="bucket_sec"):
+        interval_join_stream_bucketed(
+            stream.where(F.col("event_type") == "signup"),
+            stream.where(F.col("event_type") == "click"),
+            window_sec=600,
+            bucket_sec=300,
+        )
+
+
 def test_transform_with_state_matches_applyinpandas(spark, event_stream, tmp_path):
     """The Spark-4 transformWithStateInPandas profile must equal the
     applyInPandasWithState profile on the same single-batch stream.
