@@ -1019,7 +1019,14 @@ def jaccard_sym_edges(spark: SparkSession, sf_dir: str, thr: float = 0.8) -> Dat
     return spark.read.parquet(path)
 
 
-def min_label_components(sym: DataFrame) -> DataFrame:
+# plain min-label rounds before pointer jumping engages: near-dup
+# graphs (tiny diameters) converge inside the grace period and never
+# pay the extra self-join; anything still unconverged is a long-chain
+# shape where O(log d) rounds beat O(d)
+_CC_JUMP_AFTER = 2
+
+
+def min_label_components(sym: DataFrame, stats: dict | None = None) -> DataFrame:
     """Min-label propagation to fixpoint over a SYMMETRIC edge set
     (src, dst) -> (node, label) where label = min node id of the
     connected component.  One shuffle per round over the edge set;
@@ -1029,7 +1036,22 @@ def min_label_components(sym: DataFrame) -> DataFrame:
     materializes it, so the per-round `count()` rides the same pass as
     the label step instead of scheduling a second job over the
     checkpointed blocks (VERDICT r8 ask #4 — the separate eager
-    materialize + count pair was the cost-creep source)."""
+    materialize + count pair was the cost-creep source).
+
+    Pure neighbor-min needs O(diameter) rounds — fine for near-dup
+    clusters (tiny diameters) but pathological on chain graphs
+    (VERDICT r8 "Missing #5").  After ``_CC_JUMP_AFTER`` rounds,
+    each round adds POINTER JUMPING (label <- label-of-label via one
+    self-join on the bounded labels table): the pointer forest's depth
+    roughly halves per round, so total rounds are O(log diameter) on
+    any graph while typical dedup graphs converge inside the grace
+    period and never pay the extra join.  The jump preserves the
+    invariant (a node's label is always a node of its own component
+    with a smaller-or-equal id), so the fixpoint is unchanged — the
+    recursive-CTE oracle and the chain/diameter tests pin that.
+
+    ``stats``: pass a dict to receive {"rounds": n} for tests that
+    assert the O(log d) bound actually holds."""
     # fold round 1 into initialization: label = min(node, one-hop min).
     # Same aggregate shape as the identity init (one groupBy over the
     # edge set) but saves a full propagate-join-checkpoint round —
@@ -1041,30 +1063,49 @@ def min_label_components(sym: DataFrame) -> DataFrame:
         .select("node", F.least(F.col("node"), F.col("nbr_min")).alias("label"))
         .localCheckpoint(eager=True)
     )
+    rounds = 0
     while True:
+        rounds += 1
         neighbor_min = (
             sym.join(labels, sym.dst == labels.node)
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        stepped = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+            F.col("label").alias("prev"),
+        )
+        if rounds > _CC_JUMP_AFTER:
+            # pointer jump: label <- label(label).  Every label IS a
+            # node present in `labels` (labels only ever hold node ids
+            # from the edge set), so the join always hits; left +
+            # coalesce is belt-and-braces for the init row of the
+            # component minimum itself.
+            parent = labels.select(
+                F.col("node").alias("p_node"), F.col("label").alias("p_label")
+            )
+            stepped = stepped.join(
+                parent, stepped.label == parent.p_node, "left"
+            ).select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
+                ).alias("label"),
+                "prev",
+            )
         # carry the previous label through the checkpoint; the LAZY
         # checkpoint + count below is one job that both materializes
         # this round's labels and answers convergence
-        stepped = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-                F.col("label").alias("prev"),
-            )
-            .localCheckpoint(eager=False)
-        )
+        stepped = stepped.localCheckpoint(eager=False)
         changed = stepped.where(F.col("label") != F.col("prev")).count()
         labels = stepped.select("node", "label")
         if changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels
 
 
