@@ -323,11 +323,22 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is the exhaustive inverted-index pair set restricted to
     pairs involving a delta doc — banded LSH + verification must
     reproduce it exactly."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return delta_verified_pairs(spark, sf_dir, docs)
+
+
+def delta_verified_pairs(spark: SparkSession, sf_dir: str, docs: DataFrame) -> DataFrame:
+    """Verified >= 0.8-Jaccard pairs INVOLVING a delta doc (doc_id >=
+    `_INCR_SPLIT`), produced the incremental way: the existing corpus's
+    build-once persisted MinHash band index is probed with the delta's
+    bucket rows (plus delta-vs-delta), candidates are exact-Jaccard
+    verified.  Shared by `dedup_incremental_minhash` (which returns it
+    directly) and `dedup_incremental_components` (which feeds it into
+    cluster maintenance)."""
     import os
 
     from sparkml_som_spark.operators.sources_queries import _scratch
 
-    docs = load_table(spark, sf_dir, "documents", spread=True)
     # build-once band index for the EXISTING corpus (a real persisted
     # artifact, like the production dedup service's index table); the
     # _SUCCESS marker gates the rebuild
@@ -1017,6 +1028,77 @@ def jaccard_sym_edges(spark: SparkSession, sf_dir: str, thr: float = 0.8) -> Dat
         for h in handles:
             h.unpersist()
     return spark.read.parquet(path)
+
+
+@register(
+    "dedup_incremental_components",
+    # the oracle is the FULL-graph recompute — incremental cluster
+    # maintenance is only correct if it is indistinguishable from
+    # rebuilding from scratch, so that is exactly what the value hash
+    # pins (same CC oracle as dedup_connected_components)
+    sql=_CC_ORACLE.format(thr=0.8, max_df=_NGRAM_MAX_DF),
+    desc="incremental connected-component maintenance: persisted existing assignment collapsed to star edges + delta-probe edges, re-labeled; result == full recompute under the value hash",
+)
+def dedup_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL shape of near-dup clustering — the missing third
+    of the incremental family (exact fingerprints:
+    `dedup_incremental_exact`; pairwise: `dedup_incremental_minhash`;
+    this entry: CLUSTERS).  A new ingest batch must merge into the
+    existing corpus's cluster assignment without re-clustering the
+    corpus: the persisted assignment (built once from existing-only
+    edges, `_SUCCESS`-gated like the band index) is collapsed to STAR
+    edges (node -> its cluster label), the delta's verified pairs come
+    from probing the persisted MinHash band index with only the delta's
+    bucket rows, and min-label propagation runs over stars + delta
+    edges — a graph whose size is (existing nodes with a dup) + (delta
+    pair fan-out), never the full edge history.
+
+    Correctness identity: components over {existing-component stars}
+    union {delta-involving edges} equal components over the full edge
+    set, because stars preserve existing connectivity exactly and
+    existing-vs-existing similarity cannot change when new docs arrive.
+    (The oracle's DF cap is inert at threshold 0.8 — a pair whose
+    overlap is entirely ultra-frequent shingles is far below 0.8, the
+    property `test_ngram_df_cap_hot_shingle` pins — so the
+    existing-only build equals the full build restricted to existing
+    pairs.)  The oracle is
+    therefore the FULL recompute, making "incremental == rebuild" the
+    hashed claim itself.  At 100 TB this is the only affordable shape:
+    the assignment and band index live as bucketed tables, a daily
+    delta touches index buckets + its own pairs, and the full history
+    is never re-shingled."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    import os
+
+    from sparkml_som_spark.operators.sources_queries import _scratch
+
+    asg_path = _scratch(sf_dir, "cc_assign_existing")
+    if not os.path.exists(os.path.join(asg_path, "_SUCCESS")):
+        handles: list = []
+        pairs = shingle_pairs_with_jaccard(
+            docs.where(F.col("doc_id") < _INCR_SPLIT),
+            n=3,
+            max_df=_NGRAM_MAX_DF,
+            cleanup=handles,
+        )
+        edges = pairs.where(F.col("jaccard_raw") >= 0.8).select("a_id", "b_id")
+        sym_exist = edges.select(
+            F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+        ).union(edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+        min_label_components(sym_exist).write.mode("overwrite").parquet(asg_path)
+        for h in handles:
+            h.unpersist()
+    assign = spark.read.parquet(asg_path)  # (node, label)
+    delta_edges = delta_verified_pairs(spark, sf_dir, docs).select("a_id", "b_id")
+    star = assign.where(F.col("node") != F.col("label")).select(
+        F.col("node").alias("a_id"), F.col("label").alias("b_id")
+    )
+    merged = star.unionByName(delta_edges)
+    sym = merged.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    ).union(merged.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+    labels = min_label_components(sym)
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
 # plain min-label rounds before pointer jumping engages: near-dup

@@ -186,6 +186,21 @@ def test_min_label_components_long_chain_log_rounds(spark):
     assert stats["rounds"] <= 20, stats
 
 
+def test_incremental_components_equals_full_recompute(spark, sf_dir):
+    """Incremental cluster maintenance (persisted existing assignment
+    collapsed to stars + delta-probe edges) must be row-identical to
+    the from-scratch recompute — `exceptAll` both directions, so a
+    merged-but-mislabeled cluster or a dropped singleton both fail."""
+    from sparkml_som_spark.operators.registry import load_all
+
+    reg = load_all()
+    full = reg["dedup_connected_components"].fn(spark, sf_dir)
+    incr = reg["dedup_incremental_components"].fn(spark, sf_dir)
+    assert full.count() > 0
+    assert incr.exceptAll(full).count() == 0
+    assert full.exceptAll(incr).count() == 0
+
+
 def test_incremental_minhash_equals_full_restricted(spark):
     """The incremental entry (delta probes the band index) must equal
     the full-corpus LSH result restricted to pairs involving a delta
