@@ -265,6 +265,17 @@ def register(name: str, sql: str | None = None, desc: str = ""):
 # q13_order_count_distribution, cross_source_overlap) that the
 # second rotation hands to the round-9 operators once they are
 # oracle-verified.
+# Round-9 second rotation: the three reserve slots (q8_market_share,
+# q13_order_count_distribution, cross_source_overlap — all green
+# r7+r8, still swept by the local gate) went to the round-9 operators
+# so their first driver verdicts land with the round that built them:
+# stream_interval_join_bucketed (the r8 skew probe's hot-key
+# mitigation, oracle-green + exceptAll-equivalent to the textbook
+# form), dedup_incremental_components (incremental cluster
+# maintenance, oracle-green at sf0.001/0.01/0.1 against the FULL
+# recompute), and bm25_rank_docs (Okapi BM25 ranked retrieval,
+# oracle-green at all three SFs).  Combined r9 first-timers across
+# both rotations: 24.
 _PRIORITY: tuple[str, ...] = (
     "som_cluster_summary",
     "q2_min_price_supplier",
@@ -299,15 +310,15 @@ _PRIORITY: tuple[str, ...] = (
     "pii_luhn_audit",
     "silhouette_simplified_labels",
     "som_per_label_models",
-    "q8_market_share",
-    "q13_order_count_distribution",
+    "stream_interval_join_bucketed",
+    "dedup_incremental_components",
     "quality_bigram_filter",
     "stream_trending_topk",
     "sketch_merge_rolling_distinct",
     "split_train_val_test",
     "media_video_frame_plan",
     "histogram_event_values",
-    "cross_source_overlap",
+    "bm25_rank_docs",
     "source_python_datasource_writer",
     "dedup_connected_components",
     "data_freshness_audit",
