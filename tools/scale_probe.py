@@ -105,6 +105,10 @@ QUERIES = [
     "sql_group_by_all",            # GROUP BY ALL sugar == plain hash agg
     "bpe_apply_segment",           # vocab-bounded segmentation map join
     "dedup_span_explain",          # chain islands + token-slice join back
+    # round-9 wave
+    "stream_interval_join_bucketed",  # time-bucketed equi-key join state
+    "dedup_incremental_components",   # star edges + delta probe relabel
+    "bm25_rank_docs",                 # postings-bounded BM25 + TakeOrdered
 ]
 
 
