@@ -359,6 +359,7 @@ def load_all() -> dict[str, QuerySpec]:
     import sparkml_som_spark.operators.analytics26  # noqa: F401
     import sparkml_som_spark.operators.analytics27  # noqa: F401
     import sparkml_som_spark.operators.analytics28  # noqa: F401
+    import sparkml_som_spark.operators.analytics29  # noqa: F401
     import sparkml_som_spark.operators.corpus_ops2  # noqa: F401
     import sparkml_som_spark.operators.corpus_ops3  # noqa: F401
     import sparkml_som_spark.operators.corpus_ops4  # noqa: F401
