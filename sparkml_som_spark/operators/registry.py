@@ -275,7 +275,16 @@ def register(name: str, sql: str | None = None, desc: str = ""):
 # maintenance, oracle-green at sf0.001/0.01/0.1 against the FULL
 # recompute), and bm25_rank_docs (Okapi BM25 ranked retrieval,
 # oracle-green at all three SFs).  Combined r9 first-timers across
-# both rotations: 24.
+# both rotations: 24.  The five second-half r9 operators
+# (cdc_apply_changes, dsir_importance_weights, quality_naive_bayes,
+# phrase_search_positional, hybrid_rrf_fusion) are oracle-green at
+# sf0.01 but hold NO slot this round: the only remaining
+# green-both-r7+r8 slots are justified stayers (som_cluster_summary /
+# q1_pricing_summary continuity keepers; dedup_canonical_pick was
+# reworked onto the shared edge set this round and needs a verdict on
+# its NEW form), and evicting an r9 first-timer before its first
+# verdict would defeat the rotation.  They are first in line for the
+# round-10 rotation.
 _PRIORITY: tuple[str, ...] = (
     "som_cluster_summary",
     "q2_min_price_supplier",

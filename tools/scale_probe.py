@@ -109,6 +109,11 @@ QUERIES = [
     "stream_interval_join_bucketed",  # time-bucketed equi-key join state
     "dedup_incremental_components",   # star edges + delta probe relabel
     "bm25_rank_docs",                 # postings-bounded BM25 + TakeOrdered
+    "cdc_apply_changes",              # latest-change window + anti/union apply
+    "dsir_importance_weights",        # hashed-ngram features + broadcast LM ratio
+    "quality_naive_bayes",            # token-likelihood NB vs bounded vocab
+    "phrase_search_positional",       # positional postings + adjacency join
+    "hybrid_rrf_fusion",              # BM25 + cosine rank lists, RRF merge
 ]
 
 
@@ -119,8 +124,10 @@ def main() -> None:
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
+    only = [q for q in os.environ.get("SCALE_PROBE_ONLY", "").split(",") if q]
+    names = [q for q in QUERIES if q in only] if only else QUERIES
     out: dict[str, list[float]] = {}
-    for name in QUERIES:
+    for name in names:
         fn = queries[name]
         times = []
         for sf in SFS:
