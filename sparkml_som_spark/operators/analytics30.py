@@ -47,6 +47,34 @@ from sparkml_som_spark.operators.registry import register
 from sparkml_som_spark.operators.similarity import topk_per_query
 from sparkml_som_spark.sources import load_table
 
+# Hot-group guard for the C(n,2) pair builders: cap members per group
+# at _PAIR_CAP by deterministic hash rank BEFORE the self-join, so one
+# hyper-active key (an 8k-item basket) fans out C(256,2)=32,640 pairs
+# instead of C(8k,2)=32M in a single join task — measured 23.7 s -> 1.2 s
+# at hot=8k with the non-hot pair set bit-identical
+# (tools/pair_fanout_skew_probe.py, SCALE.md).  On the TPC-H inputs the
+# cap can never trigger (orders carry <= 7 items; only 25 p_brand
+# values exist), so the DuckDB oracles stay cap-free and the value-hash
+# gate itself certifies the guard changes nothing here.
+_PAIR_CAP = 256
+
+
+def _cap_group_members(df: DataFrame, group: str, member) -> DataFrame:
+    """Keep at most _PAIR_CAP members per group, chosen by md5 rank —
+    deterministic across runs/engines, and the window's hash
+    partitioning on `group` is reused by the pair self-join that
+    follows (ReusedExchange), so the guard costs a sort, not a
+    shuffle."""
+    w = Window.partitionBy(group).orderBy(
+        F.md5(F.col(member).cast("string")), member
+    )
+    return (
+        df.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= _PAIR_CAP)
+        .drop("_r")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Label propagation communities
 
@@ -117,16 +145,20 @@ def community_lpa_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines.
 
     Scale: edge build is a per-order self-join (fan-out C(items,2) per
-    order, bounded by order size); each round is one join on the node
+    order, bounded by order size) behind the _PAIR_CAP hot-group guard
+    (a hyper-active basket fans out C(256,2), never C(hot,2) — probe:
+    23.7 s -> 1.2 s at hot=8k); each round is one join on the node
     key + one bounded-candidate window (per-node partitions hold at
     most degree-many label rows).  Round count is FIXED — this is the
     bounded-iteration regime where LPA is used in production; the
     convergence-loop variant belongs to `dedup_connected_components`'
     pointer-jumping family."""
-    li = (
+    li = _cap_group_members(
         load_table(spark, sf_dir, "lineitem", spread=True)
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
+        .distinct(),
+        "o",
+        "p",
     )
     a, b = li.alias("a"), li.alias("b")
     pairs = (
@@ -209,8 +241,10 @@ def recs_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the pair fan-out is per-customer C(b,2) with b <= 25 brands
     (bounded by the item vocabulary a single user touches, never
-    items²); brand support counts are a 25-row broadcast; the top-k
-    window partitions by brand over <= 24 candidate rows."""
+    items²), and the _PAIR_CAP guard pins that bound even for a
+    hyper-active user on a real item vocabulary; brand support counts
+    are a 25-row broadcast; the top-k window partitions by brand over
+    <= 24 candidate rows."""
     orders = load_table(spark, sf_dir, "orders", spread=True).select(
         F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("u")
     )
@@ -220,11 +254,13 @@ def recs_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("pk"), F.col("p_brand").alias("b")
     )
-    ub = (
+    ub = _cap_group_members(
         li.join(orders, "ok")
         .join(F.broadcast(part), "pk")
         .select("u", "b")
-        .distinct()
+        .distinct(),
+        "u",
+        "b",
     )
     n_u = ub.groupBy("b").agg(F.count(F.lit(1)).alias("n"))
     x, y = ub.alias("x"), ub.alias("y")
