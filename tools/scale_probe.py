@@ -120,6 +120,9 @@ QUERIES = [
     "quantile_mergeable_sketch",      # additive histogram cells + read-off
     "jackknife_ratio_ci",             # per-stratum stats + 80-row fold
     "normalize_dedup_gain",           # codegen canonicalize + distinct agg
+    "stream_quantile_merge",          # per-batch histogram cells, additive merge
+    "match_recognize_funnel",         # per-user islands + rn-equi accept join
+    "lsh_tuning_curve",               # one signature set, banded 6-config sweep
 ]
 
 
