@@ -288,9 +288,11 @@ def register(name: str, sql: str | None = None, desc: str = ""):
 # (community_lpa_parts, recs_item_item_cosine, hard_negative_mining,
 # quantile_mergeable_sketch, jackknife_ratio_ci, normalize_dedup_gain
 # — each oracle-green at sf0.01 and invariant-tested in
-# tests/test_analytics30.py) and the fourth-wave three
+# tests/test_analytics30.py), the fourth-wave three
 # (stream_quantile_merge, match_recognize_funnel, lsh_tuning_curve —
-# oracle-green at sf0.01, law-tested in tests/test_analytics31.py).
+# oracle-green at sf0.01, law-tested in tests/test_analytics31.py),
+# and the fifth-wave two (poisson_bootstrap_ci, pit_feature_join —
+# oracle-green at sf0.01, replay-tested in tests/test_analytics32.py).
 _PRIORITY: tuple[str, ...] = (
     "som_cluster_summary",
     "q2_min_price_supplier",
@@ -377,6 +379,7 @@ def load_all() -> dict[str, QuerySpec]:
     import sparkml_som_spark.operators.analytics29  # noqa: F401
     import sparkml_som_spark.operators.analytics30  # noqa: F401
     import sparkml_som_spark.operators.analytics31  # noqa: F401
+    import sparkml_som_spark.operators.analytics32  # noqa: F401
     import sparkml_som_spark.operators.corpus_ops2  # noqa: F401
     import sparkml_som_spark.operators.corpus_ops3  # noqa: F401
     import sparkml_som_spark.operators.corpus_ops4  # noqa: F401

@@ -123,6 +123,8 @@ QUERIES = [
     "stream_quantile_merge",          # per-batch histogram cells, additive merge
     "match_recognize_funnel",         # per-user islands + rn-equi accept join
     "lsh_tuning_curve",               # one signature set, banded 6-config sweep
+    "poisson_bootstrap_ci",           # 64 parallel aggregates, one-row shuffle
+    "pit_feature_join",               # union-and-carry as-of, one keyed shuffle
 ]
 
 
