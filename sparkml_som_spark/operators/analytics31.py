@@ -432,20 +432,38 @@ def lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
-    common = (
-        cand0.join(sh.select(F.col("doc_id").alias("a_id"), "s"), "a_id")
-        .join(sh.select(F.col("doc_id").alias("b_id"), "s"), ["b_id", "s"])
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    truth = (
-        common.join(sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na")), "a_id")
-        .join(sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb")), "b_id")
-        .where(
-            F.col("common") / (F.col("na") + F.col("nb") - F.col("common")) >= _LSH_TAU
+    # build-once persisted ground truth (>= tau exact-Jaccard pairs):
+    # a real tuning session sweeps many configs against ONE fixed truth
+    # sample, so the truth table is a _SUCCESS-gated scratch artifact —
+    # the same discipline as the MinHash band index and the shared
+    # jaccard_sym_edges table; repeat sweeps read it instead of
+    # re-running the inverted-index verification (the dominant cost)
+    truth_path = _scratch(sf_dir, "lsh_truth_tau05")
+    if not os.path.exists(os.path.join(truth_path, "_SUCCESS")):
+        common = (
+            cand0.join(sh.select(F.col("doc_id").alias("a_id"), "s"), "a_id")
+            .join(sh.select(F.col("doc_id").alias("b_id"), "s"), ["b_id", "s"])
+            .groupBy("a_id", "b_id")
+            .agg(F.count(F.lit(1)).alias("common"))
         )
-        .select("a_id", "b_id")
-    )
+        (
+            common.join(
+                sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na")),
+                "a_id",
+            )
+            .join(
+                sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb")),
+                "b_id",
+            )
+            .where(
+                F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+                >= _LSH_TAU
+            )
+            .select("a_id", "b_id")
+            .write.mode("overwrite")
+            .parquet(truth_path)
+        )
+    truth = spark.read.parquet(truth_path)
     truth.persist()
     n_truth = truth.count()
 
