@@ -291,8 +291,11 @@ def register(name: str, sql: str | None = None, desc: str = ""):
 # tests/test_analytics30.py), the fourth-wave three
 # (stream_quantile_merge, match_recognize_funnel, lsh_tuning_curve —
 # oracle-green at sf0.01, law-tested in tests/test_analytics31.py),
-# and the fifth-wave two (poisson_bootstrap_ci, pit_feature_join —
-# oracle-green at sf0.01, replay-tested in tests/test_analytics32.py).
+# the fifth-wave two (poisson_bootstrap_ci, pit_feature_join —
+# oracle-green at sf0.01, replay-tested in tests/test_analytics32.py),
+# and the sixth-wave two (seed_expansion_ppr, purged_time_split —
+# oracle-green at sf0.01, replay/arithmetic-tested in
+# tests/test_analytics33.py).
 _PRIORITY: tuple[str, ...] = (
     "som_cluster_summary",
     "q2_min_price_supplier",
@@ -380,6 +383,7 @@ def load_all() -> dict[str, QuerySpec]:
     import sparkml_som_spark.operators.analytics30  # noqa: F401
     import sparkml_som_spark.operators.analytics31  # noqa: F401
     import sparkml_som_spark.operators.analytics32  # noqa: F401
+    import sparkml_som_spark.operators.analytics33  # noqa: F401
     import sparkml_som_spark.operators.corpus_ops2  # noqa: F401
     import sparkml_som_spark.operators.corpus_ops3  # noqa: F401
     import sparkml_som_spark.operators.corpus_ops4  # noqa: F401

@@ -125,6 +125,8 @@ QUERIES = [
     "lsh_tuning_curve",               # one signature set, banded 6-config sweep
     "poisson_bootstrap_ci",           # 64 parallel aggregates, one-row shuffle
     "pit_feature_join",               # union-and-carry as-of, one keyed shuffle
+    "seed_expansion_ppr",             # sparse-frontier PPR over bounded edges
+    "purged_time_split",              # one agg + scalar cutoffs + grouped pass
 ]
 
 
