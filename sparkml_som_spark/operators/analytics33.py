@@ -317,3 +317,98 @@ def purged_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 purged_time_split.__doc__ = purged_time_split.__doc__.format(
     tr=_SPLIT_TRAIN_PCT, em=_SPLIT_EMBARGO_PCT
 )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate leakage across a random split
+
+from sparkml_som_spark.operators.analytics14 import (  # noqa: E402
+    _SPLIT_TRAIN_HI,
+    _SPLIT_VAL_HI,
+)
+from sparkml_som_spark.operators.dedup import (  # noqa: E402
+    _NGRAM_MAX_DF,
+    _NGRAM_ORACLE,
+)
+
+_LEAK_SPLIT_CASE = f"""
+    CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) <= '{_SPLIT_TRAIN_HI}'
+             THEN 'train'
+         WHEN substr(md5(doc_id::VARCHAR), 1, 2) <= '{_SPLIT_VAL_HI}'
+             THEN 'val'
+         ELSE 'test' END
+"""
+
+
+@register(
+    "split_dedup_leakage",
+    sql=f"""
+    WITH nd AS ({_NGRAM_ORACLE.format(thr=0.8, max_df=_NGRAM_MAX_DF)}),
+    asg AS (SELECT doc_id, {_LEAK_SPLIT_CASE} AS split FROM documents),
+    j AS (
+        SELECT LEAST(sa.split, sb.split) AS split_a,
+               GREATEST(sa.split, sb.split) AS split_b
+        FROM nd p
+        JOIN asg sa ON sa.doc_id = p.a_id
+        JOIN asg sb ON sb.doc_id = p.b_id
+    )
+    SELECT split_a, split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           split_a <> split_b AS is_leak,
+           ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 6) AS share
+    FROM j GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    desc="near-dup pairs (Jaccard >= 0.8) crossing the md5-band train/val/test split — the contamination a random split creates when dedup is skipped",
+)
+def split_dedup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHY dedup-before-split is a rule: a uniform random split sends
+    ~2·p·(1-p) of every near-duplicate pair across the train/test
+    boundary — the test set then contains near-copies of training
+    documents and evaluation numbers inflate.  This operator measures
+    that contamination for the repo's own md5-band split: every
+    verified >= 0.8-Jaccard pair is classified by the splits of its two
+    endpoints, and the cross-split rows ARE the leaked pairs.
+
+    Composes two persisted artifacts: the shared `jaccard_sym_edges`
+    near-dup edge table (built once, read by all dedup consumers) and
+    the `split_train_val_test` assignment expression — so the
+    measurement costs one bounded join over the pair set, not a corpus
+    pass.  The oracle recomputes the pair set from scratch through the
+    exhaustive DF-capped inverted index.
+
+    Scale: the pair set is orders of magnitude smaller than the
+    corpus; the split assignment is a codegen md5 on each endpoint id
+    (no join back to documents needed); the share window runs over the
+    bounded (split_a, split_b) grid keyed on a derived constant."""
+    from sparkml_som_spark.operators.dedup import jaccard_sym_edges
+
+    sym = jaccard_sym_edges(spark, sf_dir)
+    pairs = sym.where(F.col("src") < F.col("dst"))
+
+    def split_of(col):
+        pref = F.substring(F.md5(col.cast("string")), 1, 2)
+        return (
+            F.when(pref <= _SPLIT_TRAIN_HI, "train")
+            .when(pref <= _SPLIT_VAL_HI, "val")
+            .otherwise("test")
+        )
+
+    tagged = pairs.select(
+        split_of(F.col("src")).alias("s_src"), split_of(F.col("dst")).alias("s_dst")
+    ).select(
+        F.least("s_src", "s_dst").alias("split_a"),
+        F.greatest("s_src", "s_dst").alias("split_b"),
+    )
+    g = tagged.groupBy("split_a", "split_b").agg(F.count(F.lit(1)).alias("n_pairs"))
+    from pyspark.sql import Window
+
+    # column-derived constant key (a literal would fold to an empty
+    # partition spec); the window runs over the bounded split grid
+    w_all = Window.partitionBy(F.col("n_pairs") * 0)
+    return g.select(
+        "split_a",
+        "split_b",
+        "n_pairs",
+        (F.col("split_a") != F.col("split_b")).alias("is_leak"),
+        F.round(F.col("n_pairs") / F.sum("n_pairs").over(w_all), 6).alias("share"),
+    ).orderBy("split_a", "split_b")

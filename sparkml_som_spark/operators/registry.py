@@ -293,9 +293,9 @@ def register(name: str, sql: str | None = None, desc: str = ""):
 # oracle-green at sf0.01, law-tested in tests/test_analytics31.py),
 # the fifth-wave two (poisson_bootstrap_ci, pit_feature_join —
 # oracle-green at sf0.01, replay-tested in tests/test_analytics32.py),
-# and the sixth-wave two (seed_expansion_ppr, purged_time_split —
-# oracle-green at sf0.01, replay/arithmetic-tested in
-# tests/test_analytics33.py).
+# and the sixth-wave three (seed_expansion_ppr, purged_time_split,
+# split_dedup_leakage — oracle-green at sf0.01,
+# replay/arithmetic-tested in tests/test_analytics33.py).
 _PRIORITY: tuple[str, ...] = (
     "som_cluster_summary",
     "q2_min_price_supplier",

@@ -121,3 +121,37 @@ def test_purged_split_partition_and_embargo(spark, sf_dir):
         assert r["embargo_us"] == embargo_us
         assert r["leakage_free"] is True
         assert r["train_test_gap_us"] > embargo_us
+
+
+def test_split_leakage_matches_hashlib_replay(spark, sf_dir):
+    """Recompute the (split_a, split_b) pair grid in pure Python from
+    the shared near-dup edge table and hashlib md5 band assignment."""
+    import hashlib
+
+    from sparkml_som_spark.operators.analytics14 import (
+        _SPLIT_TRAIN_HI,
+        _SPLIT_VAL_HI,
+    )
+    from sparkml_som_spark.operators.analytics33 import split_dedup_leakage
+    from sparkml_som_spark.operators.dedup import jaccard_sym_edges
+
+    rows = split_dedup_leakage(spark, sf_dir).collect()
+    got = {(r["split_a"], r["split_b"]): r["n_pairs"] for r in rows}
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r["is_leak"] == (r["split_a"] != r["split_b"])
+
+    def split(doc_id):
+        p = hashlib.md5(str(doc_id).encode()).hexdigest()[:2]
+        return "train" if p <= _SPLIT_TRAIN_HI else ("val" if p <= _SPLIT_VAL_HI else "test")
+
+    pairs = {
+        (r["src"], r["dst"])
+        for r in jaccard_sym_edges(spark, sf_dir).collect()
+        if r["src"] < r["dst"]
+    }
+    want: dict = {}
+    for a, b in pairs:
+        key = tuple(sorted((split(a), split(b))))
+        want[key] = want.get(key, 0) + 1
+    assert got == want

@@ -127,6 +127,7 @@ QUERIES = [
     "pit_feature_join",               # union-and-carry as-of, one keyed shuffle
     "seed_expansion_ppr",             # sparse-frontier PPR over bounded edges
     "purged_time_split",              # one agg + scalar cutoffs + grouped pass
+    "split_dedup_leakage",            # bounded pair-set join to split grid
 ]
 
 
