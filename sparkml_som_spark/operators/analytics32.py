@@ -71,10 +71,14 @@ _BOOT_CASE = (
 @register(
     "poisson_bootstrap_ci",
     sql=f"""
-    WITH hw AS (
-        SELECT r.r, CAST(o_totalprice AS DOUBLE) AS x,
-               {_BOOT_CASE.replace("h <", "CAST('0x' || substr(md5(o_orderkey::VARCHAR || ':' || r.r::VARCHAR), 1, 15) AS BIGINT) <")} AS w
+    WITH hx AS (
+        SELECT CAST(o_totalprice AS DOUBLE) AS x, r.r AS r,
+               CAST('0x' || substr(md5(o_orderkey::VARCHAR || ':' || CAST(r.r // 2 AS VARCHAR)),
+                                   1 + 16 * (r.r % 2), 15) AS BIGINT) AS h
         FROM orders, (SELECT unnest(range({_BOOT_R})) AS r) r
+    ),
+    hw AS (
+        SELECT r, x, {_BOOT_CASE} AS w FROM hx
     ),
     reps AS (
         SELECT r, SUM(w * x) / SUM(w) AS m FROM hw GROUP BY r
@@ -104,9 +108,10 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     Uncertainty for Massive Data Streams"): instead of resampling rows
     (impossible at 100 TB without full shuffles per replicate), each
     replicate r multiplies every row by an independent Poisson(1)
-    weight — here drawn DETERMINISTICALLY from md5(orderkey:r) through
-    an integer inverse-CDF, so the "randomness" is reproducible across
-    retries, engines, and partitionings.  All {r} replicate means
+    weight — here drawn DETERMINISTICALLY from md5(orderkey:r//2)
+    through an integer inverse-CDF (each 128-bit digest yields two
+    60-bit uniforms, halving hash calls), so the "randomness" is
+    reproducible across retries, engines, and partitionings.  All {r} replicate means
     come from one scan as 2x{r} parallel aggregates (sum w*x, sum w);
     the shuffle carries ONE row of partial sums.  SE = sample stddev
     of the replicate means; CI = point estimate +/- 1.96 SE.
@@ -115,26 +120,35 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     sufficient statistics; the Poisson bootstrap needs nothing but a
     row hash — it is the uncertainty tool for metrics with no usable
     strata."""
-    orders = load_table(spark, sf_dir, "orders", spread=True)
-    wcols = [
-        _poisson_w(
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            ":", F.col("o_orderkey").cast("string"), F.lit(str(r))
-                        )
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long")
-        ).alias(f"w{r}")
-        for r in range(_BOOT_R)
+    from sparkml_som_spark.sources import _spread
+
+    # project to the two needed columns BEFORE spreading: _spread is a
+    # full round-robin shuffle, so shuffling (key, price) instead of
+    # whole orders rows cuts the shuffle payload ~5x
+    orders = _spread(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    )
+    # one md5 feeds TWO replicates: a 128-bit digest holds two
+    # independent 60-bit uniforms (hex chars 1-15 and 17-31), so the
+    # scan pays _BOOT_R/2 hash calls per row, not _BOOT_R.  The hash
+    # columns live in their own projection; each is referenced twice
+    # downstream, and CollapseProject keeps non-cheap multi-referenced
+    # aliases un-inlined, so the digest is computed once.
+    hcols = [
+        F.md5(
+            F.concat_ws(":", F.col("o_orderkey").cast("string"), F.lit(str(p)))
+        ).alias(f"h{p}")
+        for p in range(_BOOT_R // 2)
     ]
-    proj = orders.select(F.col("o_totalprice").cast("double").alias("x"), *wcols)
+    hashed = orders.select(F.col("o_totalprice").cast("double").alias("x"), *hcols)
+    wcols = []
+    for r in range(_BOOT_R):
+        p, half = divmod(r, 2)
+        draw = F.conv(
+            F.substring(F.col(f"h{p}"), 1 + 16 * half, 15), 16, 10
+        ).cast("long")
+        wcols.append(_poisson_w(draw).alias(f"w{r}"))
+    proj = hashed.select("x", *wcols)
     row = proj.agg(
         F.avg("x").alias("pm"),
         F.count(F.lit(1)).alias("n"),

@@ -34,7 +34,8 @@ from pyspark.sql import functions as F
 from sparkml_som_spark.operators.analytics30 import (
     _LPA_EDGE_SQL,
     _LPA_MIN_W,
-    _cap_group_members,
+    copurchase_edges,
+    copurchase_nodes,
 )
 from sparkml_som_spark.operators.registry import register
 from sparkml_som_spark.sources import load_table
@@ -125,29 +126,19 @@ def seed_expansion_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed rows only, and each iteration joins the previous nonzero
     ranks into the edge set keyed on the source node, so the
     per-iteration shuffle is bounded by the 3-hop frontier, never a
-    dense vertex vector.  The edge build shares LPA's per-order
-    C(items,2) fan-out bound and the `_PAIR_CAP` hot-group guard."""
-    li = _cap_group_members(
-        load_table(spark, sf_dir, "lineitem", spread=True)
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct(),
-        "o",
-        "p",
-    )
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-        .agg(F.count(F.lit(1)).alias("w"))
-        .where(F.col("w") >= _LPA_MIN_W)
-    )
+    dense vertex vector.  The edge set comes from the SHARED
+    build-once `copurchase_edges` artifact (round 10): the per-order
+    C(items,2) pair build behind the `_PAIR_CAP` hot-group guard runs
+    once per corpus, and LPA / PPR / triangle counting all read the
+    persisted table."""
+    pairs = copurchase_edges(spark, sf_dir).where(F.col("w") >= _LPA_MIN_W)
     edges = pairs.unionByName(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
     )
     outw = edges.groupBy("u").agg(F.sum("w").alias("wout"))
     edges = edges.join(outw, "u")
 
-    nodes = li.select(F.col("p").alias("node")).distinct()
+    nodes = copurchase_nodes(spark, sf_dir)
     part = load_table(spark, sf_dir, "part").where(
         F.col("p_brand") == _PPR_SEED_BRAND
     ).select(F.col("p_partkey").alias("node"))

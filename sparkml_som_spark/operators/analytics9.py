@@ -71,10 +71,11 @@ from sparkml_som_spark.sources import load_table, read_any, write_any
 def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count triangles in the graph whose nodes are small parts
     (p_size <= 12 — the analysis segment) and whose edges connect
-    parts appearing in the same order.  The node filter rides the
-    broadcast part-dimension join, so it prunes BEFORE the pair
-    self-join — the full-catalog graph is ~100x the wedge volume and
-    adds nothing to the operator demonstration.
+    parts appearing in the same order.  The node filter is two
+    broadcast endpoint joins against the persisted shared edge table,
+    pruning the graph to ~6% of its edges before any wedge work — the
+    full-catalog graph is ~100x the wedge volume and adds nothing to
+    the operator demonstration.
 
     The oracle enumerates triangles in the textbook ``a < b < c`` key
     order.  The Spark side counts the SAME triangles (the count is
@@ -85,19 +86,25 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     The degree table (|V| rows) travels by broadcast; the wedge →
     edge-existence join is a plain equi-join on (s, t).
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part").where(F.col("p_size") <= 12)
-    op = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
+    # edge source: the SHARED build-once `copurchase_edges` artifact
+    # (round 10) — one unordered row per co-purchased part pair, built
+    # once per corpus and read by LPA / PPR / this entry.  The small-
+    # part restriction commutes with the pair build (a small-small
+    # edge survives either order of filter and self-join), so the two
+    # broadcast semijoin-style endpoint filters below reproduce the
+    # filter-first graph exactly; weights are ignored here.
+    from sparkml_som_spark.operators.analytics30 import copurchase_edges
+
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_size") <= 12)
+        .select(F.col("p_partkey").alias("pk"))
     )
     e = (
-        op.alias("a")
-        .join(op.alias("b"), "o")
-        .where(F.col("a.p") < F.col("b.p"))
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-        .distinct()
+        copurchase_edges(spark, sf_dir)
+        .join(F.broadcast(part.withColumnRenamed("pk", "u")), "u")
+        .join(F.broadcast(part.withColumnRenamed("pk", "v")), "v")
+        .select("u", "v")
         .persist()
     )
     deg = (

@@ -996,7 +996,9 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
-def jaccard_sym_edges(spark: SparkSession, sf_dir: str, thr: float = 0.8) -> DataFrame:
+def jaccard_sym_edges(
+    spark: SparkSession, sf_dir: str, thr: float = 0.8, with_jaccard: bool = False
+) -> DataFrame:
     """Build-once (per sf_dir) persisted SYMMETRIC edge set of >= thr
     Jaccard near-dup pairs — the shared artifact of the dedup pipeline.
 
@@ -1004,30 +1006,46 @@ def jaccard_sym_edges(spark: SparkSession, sf_dir: str, thr: float = 0.8) -> Dat
     exact-Jaccard verification run ONCE and land in a `_SUCCESS`-gated
     parquet under the scratch dir (same discipline as the persisted
     MinHash band index above); every downstream consumer — connected
-    components, canonical pick — reads the table instead of re-running
-    the shingle pipeline.  At 100 TB the edge set is exactly such a
-    first-class table: candidate pairs are orders of magnitude smaller
-    than the corpus, and recomputing them per consumer would be the
-    dominant cost of every dedup job that composes them."""
+    components, canonical pick, the per-source exposure/contamination
+    diagnostics — reads the table instead of re-running the shingle
+    pipeline.  At 100 TB the edge set is exactly such a first-class
+    table: candidate pairs are orders of magnitude smaller than the
+    corpus, and recomputing them per consumer would be the dominant
+    cost of every dedup job that composes them.
+
+    The parquet also stores the exact ``jaccard`` of each edge
+    (``with_jaccard=True`` exposes it) so score-consuming diagnostics
+    (e.g. cross-source mean Jaccard) share the same build instead of
+    re-verifying pairs; graph-only consumers get the bare (src, dst)
+    projection and column pruning keeps their scan two-column."""
     import os
 
     from sparkml_som_spark.operators.sources_queries import _scratch
 
-    path = _scratch(sf_dir, "jaccard08_sym_edges")
+    # v2: schema gained the `jaccard` column (round 10); the version
+    # bump keeps a stale two-column scratch dir from poisoning reads
+    path = _scratch(sf_dir, "jaccard08_sym_edges_v2")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         docs = load_table(spark, sf_dir, "documents", spread=True)
         handles: list = []
         pairs = shingle_pairs_with_jaccard(
             docs, n=3, max_df=_NGRAM_MAX_DF, cleanup=handles
         )
-        edges = pairs.where(F.col("jaccard_raw") >= thr).select("a_id", "b_id")
+        edges = pairs.where(F.col("jaccard_raw") >= thr).select(
+            "a_id", "b_id", F.col("jaccard_raw").alias("jaccard")
+        )
         sym = edges.select(
-            F.col("a_id").alias("src"), F.col("b_id").alias("dst")
-        ).union(edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+            F.col("a_id").alias("src"), F.col("b_id").alias("dst"), "jaccard"
+        ).union(
+            edges.select(
+                F.col("b_id").alias("src"), F.col("a_id").alias("dst"), "jaccard"
+            )
+        )
         sym.write.mode("overwrite").parquet(path)
         for h in handles:
             h.unpersist()
-    return spark.read.parquet(path)
+    out = spark.read.parquet(path)
+    return out if with_jaccard else out.select("src", "dst")
 
 
 @register(

@@ -10,10 +10,15 @@ import pytest
 from pyspark.sql import functions as F
 
 
-def _poisson_w_py(key: str) -> int:
+def _poisson_w_py(key: str, r: int) -> int:
+    """Replicate r's draw: one md5 per replicate PAIR (key:r//2), with
+    hex chars 1-15 feeding the even replicate and 17-31 the odd one —
+    the round-10 halved-hash scheme the operator uses."""
     from sparkml_som_spark.operators.analytics32 import _BOOT_THRESH
 
-    h = int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+    digest = hashlib.md5(f"{key}:{r // 2}".encode()).hexdigest()
+    start = 16 * (r % 2)
+    h = int(digest[start : start + 15], 16)
     for k, t in enumerate(_BOOT_THRESH):
         if h < t:
             return k
@@ -44,7 +49,7 @@ def test_poisson_bootstrap_matches_hashlib_recomputation(spark, sf_dir):
     for r in range(_BOOT_R):
         sw = swx = 0.0
         for k, x in xs:
-            w = _poisson_w_py(f"{k}:{r}")
+            w = _poisson_w_py(str(k), r)
             sw += w
             swx += w * x
         means.append(swx / sw)
