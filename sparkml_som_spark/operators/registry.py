@@ -296,43 +296,73 @@ def register(name: str, sql: str | None = None, desc: str = ""):
 # and the sixth-wave three (seed_expansion_ppr, purged_time_split,
 # split_dedup_leakage — oracle-green at sf0.01,
 # replay/arithmetic-tested in tests/test_analytics33.py).
+# Round-10 rotation: twenty-two slots green BOTH r8+r9
+# (q2_min_price_supplier, q11_important_parts, q15_top_supplier,
+# q17_small_qty_revenue, q20_excess_suppliers, q21_waiting_suppliers,
+# bloom_semijoin_customers, dedup_substring_runs, dedup_canonical_pick,
+# table_diff_reconcile, ann_matryoshka_prefix, kwic_term_context,
+# kanon_quasi_identifier_audit, dedup_span_coverage,
+# dedup_incremental_substring, pii_luhn_audit, quality_bigram_filter,
+# data_freshness_audit, ann_ivf_pq, asof_tolerance_join,
+# stream_minhash_dedup_guard, ann_topk_bruteforce — all still swept by
+# the local gate) went to VERDICT r9 ask #1's priority list: the two
+# round-1 `no_oracle` relics (approx_distinct_users,
+# approx_percentile_prices — sketch-guard oracles since r5, never
+# driver-re-sampled), all nineteen never-sampled round-9 wave
+# operators (poisson_bootstrap_ci — reworked this round onto paired
+# md5 draws, so the verdict lands on the new form — pit_feature_join,
+# match_recognize_funnel, hybrid_rrf_fusion, community_lpa_parts and
+# seed_expansion_ppr — both moved onto the shared persisted
+# copurchase_edges artifact this round — purged_time_split,
+# split_dedup_leakage, stream_quantile_merge, lsh_tuning_curve,
+# recs_item_item_cosine, dsir_importance_weights, quality_naive_bayes,
+# cdc_apply_changes, phrase_search_positional, hard_negative_mining,
+# quantile_mergeable_sketch, jackknife_ratio_ci, normalize_dedup_gain),
+# and triangle_count_copurchase (prior verdicts r5/r9, but its edge
+# build moved onto the shared copurchase_edges artifact this round and
+# the new form needs a driver verdict).  Each incoming entry
+# re-verified green via tools/check_oracle.py before the swap.
+# First in line for the round-11 rotation: window_rank_family_events
+# (never sampled; the r9 VERDICT listed it driver-pass in error) and
+# cross_source_overlap (moved onto the persisted jaccard edge table
+# this round), then the remaining never-sampled back-catalog.
 _PRIORITY: tuple[str, ...] = (
     "som_cluster_summary",
-    "q2_min_price_supplier",
-    "q11_important_parts",
-    "q15_top_supplier",
+    "approx_distinct_users",
+    "approx_percentile_prices",
+    "poisson_bootstrap_ci",
     "gains_lift_price_bands",
     "info_gain_urgency_features",
     "quota_largest_remainder",
     "ewma_forecast_daily",
     "forecast_interval_coverage",
     "semdedup_grid_cosine",
-    "q17_small_qty_revenue",
-    "q20_excess_suppliers",
+    "pit_feature_join",
+    "match_recognize_funnel",
     "sql_group_by_all",
-    "q21_waiting_suppliers",
-    "bloom_semijoin_customers",
+    "hybrid_rrf_fusion",
+    "community_lpa_parts",
     "bpe_apply_segment",
     "dedup_span_explain",
     "near_dup_rate_by_source",
-    "dedup_substring_runs",
-    "dedup_canonical_pick",
-    "table_diff_reconcile",
+    "seed_expansion_ppr",
+    "purged_time_split",
+    "split_dedup_leakage",
     "quality_char_bigram_logloss",
-    "ann_matryoshka_prefix",
+    "stream_quantile_merge",
     "bpe_train_merges",
-    "kwic_term_context",
-    "kanon_quasi_identifier_audit",
-    "dedup_span_coverage",
+    "lsh_tuning_curve",
+    "recs_item_item_cosine",
+    "dsir_importance_weights",
     "reachability_3hop_nations",
-    "dedup_incremental_substring",
+    "quality_naive_bayes",
     "upsert_scd1_orders",
-    "pii_luhn_audit",
+    "cdc_apply_changes",
     "silhouette_simplified_labels",
     "som_per_label_models",
     "stream_interval_join_bucketed",
     "dedup_incremental_components",
-    "quality_bigram_filter",
+    "phrase_search_positional",
     "stream_trending_topk",
     "sketch_merge_rolling_distinct",
     "split_train_val_test",
@@ -341,11 +371,11 @@ _PRIORITY: tuple[str, ...] = (
     "bm25_rank_docs",
     "source_python_datasource_writer",
     "dedup_connected_components",
-    "data_freshness_audit",
-    "ann_ivf_pq",
-    "asof_tolerance_join",
-    "stream_minhash_dedup_guard",
-    "ann_topk_bruteforce",
+    "hard_negative_mining",
+    "quantile_mergeable_sketch",
+    "jackknife_ratio_ci",
+    "normalize_dedup_gain",
+    "triangle_count_copurchase",
     # continuity keeper: a representative TPC-H row stays driver-visible
     "q1_pricing_summary",
 )
