@@ -323,9 +323,12 @@ def register(name: str, sql: str | None = None, desc: str = ""):
 # the new form needs a driver verdict).  Each incoming entry
 # re-verified green via tools/check_oracle.py before the swap.
 # First in line for the round-11 rotation: window_rank_family_events
-# (never sampled; the r9 VERDICT listed it driver-pass in error) and
+# (never sampled; the r9 VERDICT listed it driver-pass in error),
 # cross_source_overlap (moved onto the persisted jaccard edge table
-# this round), then the remaining never-sampled back-catalog.
+# this round), and the two round-10 operators (som_grouped_cv,
+# sample_dedup_stratified — oracle-green at all three SFs,
+# replay-tested in tests/test_analytics34.py), then the remaining
+# never-sampled back-catalog.
 _PRIORITY: tuple[str, ...] = (
     "som_cluster_summary",
     "approx_distinct_users",
@@ -414,6 +417,7 @@ def load_all() -> dict[str, QuerySpec]:
     import sparkml_som_spark.operators.analytics31  # noqa: F401
     import sparkml_som_spark.operators.analytics32  # noqa: F401
     import sparkml_som_spark.operators.analytics33  # noqa: F401
+    import sparkml_som_spark.operators.analytics34  # noqa: F401
     import sparkml_som_spark.operators.corpus_ops2  # noqa: F401
     import sparkml_som_spark.operators.corpus_ops3  # noqa: F401
     import sparkml_som_spark.operators.corpus_ops4  # noqa: F401

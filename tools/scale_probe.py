@@ -128,6 +128,9 @@ QUERIES = [
     "seed_expansion_ppr",             # sparse-frontier PPR over bounded edges
     "purged_time_split",              # one agg + scalar cutoffs + grouped pass
     "split_dedup_leakage",            # bounded pair-set join to split grid
+    # round-10 wave
+    "som_grouped_cv",                 # md5 group folds + K independent fits
+    "sample_dedup_stratified",        # within-cell dedup + k-per-cell draw
 ]
 
 
