@@ -66,6 +66,41 @@ def main() -> None:
     )
     _SOM(height=2, width=2, maxIter=2, seed=1).fit(_wdf)
 
+    # Host canaries: two fixed synthetic workloads (pure-JVM codegen
+    # fold; Arrow/pandas_udf round-trip) timed best-of-2 before and
+    # after the suite.  Round-10 lesson: a controlled re-run of eight
+    # queries that benched at 1.0x of their frozen best in r9 measured
+    # 1.4-1.9x in a later session — the HOST, not the queries, moves
+    # by that much between sessions.  The canary factor lets a reader
+    # attribute per-query elevation to host mood (elevation <= canary
+    # drift) vs a real plan/code regression (elevation >> canary
+    # drift) without re-deriving the experiment each round.
+    def _timed(fn) -> float:
+        t0 = time.time()
+        fn()
+        return time.time() - t0
+
+    _canary_udf = _warm_udf()
+
+    def _canary() -> dict[str, float]:
+        def jvm_run():
+            spark.range(400_000_000).selectExpr("sum(id * 2651 % 97)").collect()
+
+        def udf_run():
+            spark.range(2_000_000).repartition(
+                int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+            ).select(_canary_udf(F.col("id").cast("double")).alias("v")).selectExpr(
+                "sum(v)"
+            ).collect()
+
+        jvm_run()  # untimed warm pass: first-touch codegen/JIT is not host speed
+        udf_run()
+        jvm = min(_timed(jvm_run) for _ in range(3))
+        udf = min(_timed(udf_run) for _ in range(3))
+        return {"jvm_sec": round(jvm, 3), "udf_sec": round(udf, 3)}
+
+    canary_pre = _canary()
+
     timings: dict[str, float] = {}
     queries = entrymod.queries()
     for name, fn in queries.items():
@@ -188,6 +223,8 @@ def main() -> None:
     # Full per-query detail goes to a file; the stdout line must fit the
     # driver's 2000-char stdout-tail buffer or it records parsed=null
     # (round-1 lesson: 87 queries serialized to ~2.7 KB and got cut).
+    canary_post = _canary()
+
     detail = {
         "metric": "total_query_seconds",
         "value": total,
@@ -196,6 +233,10 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "value_common_vs_r01": value_common,
+        # fixed synthetic workloads timed before/after the suite: the
+        # session's host-speed reference for attributing per-query
+        # drift (see PERF_DIAG_r10.md)
+        "host_canary": {"pre": canary_pre, "post": canary_post},
         # standing per-query annotations (kept in bench.py so every
         # BENCH_DETAIL rewrite carries them)
         "notes": {
