@@ -100,10 +100,13 @@ def som_grouped_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay in tests/test_analytics34.py.
 
     Scale: fold assignment is a stateless row expression (no shuffle);
-    the K fits are independent bounded-shuffle training loops a
-    cluster would run as parallel jobs; validation scoring is one
-    map-side-combined aggregate per fold."""
+    the K fits are independent bounded-shuffle training loops run as
+    CONCURRENT jobs (a thread per fold submits to the shared
+    scheduler — the local-mode expression of "a cluster runs the folds
+    in parallel"); validation scoring is one map-side-combined
+    aggregate per fold."""
     import math
+    from concurrent.futures import ThreadPoolExecutor
 
     from sparkml_som_spark.som import SOM
 
@@ -114,28 +117,34 @@ def som_grouped_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         % _CV_FOLDS
     )
     tagged = emb.withColumn("fold", fold).persist()
-    rows = []
+
+    def run_fold(f: int):
+        train = tagged.where(F.col("fold") != f)
+        val = tagged.where(F.col("fold") == f)
+        som = SOM(
+            height=3, width=3, maxIter=6, seed=42, featuresCol="embedding",
+            tMax=3.0, tMin=0.5,
+        )
+        model = som.fit(train)
+        n_train = int(model.summary.n_samples)
+        stats = val.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("label").alias("g"),
+        ).collect()[0]
+        n_val, n_groups = int(stats["n"]), int(stats["g"])
+        if n_val == 0:
+            qe_valid = True  # vacuous fold: nothing to score
+        else:
+            qe = model.compute_cost(val)
+            qe_valid = math.isfinite(qe) and qe > 0
+        return (f, n_groups, n_val, n_train, qe_valid)
+
     try:
-        for f in range(_CV_FOLDS):
-            train = tagged.where(F.col("fold") != f)
-            val = tagged.where(F.col("fold") == f)
-            som = SOM(
-                height=3, width=3, maxIter=6, seed=42, featuresCol="embedding",
-                tMax=3.0, tMin=0.5,
-            )
-            model = som.fit(train)
-            n_train = int(model.summary.n_samples)
-            stats = val.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.count_distinct("label").alias("g"),
-            ).collect()[0]
-            n_val, n_groups = int(stats["n"]), int(stats["g"])
-            if n_val == 0:
-                qe_valid = True  # vacuous fold: nothing to score
-            else:
-                qe = model.compute_cost(val)
-                qe_valid = math.isfinite(qe) and qe > 0
-            rows.append((f, n_groups, n_val, n_train, qe_valid))
+        # materialize the tagged split once so the concurrent folds
+        # read the cached blocks instead of racing three parquet scans
+        tagged.count()
+        with ThreadPoolExecutor(max_workers=_CV_FOLDS) as pool:
+            rows = list(pool.map(run_fold, range(_CV_FOLDS)))
     finally:
         tagged.unpersist()
     return spark.createDataFrame(
@@ -159,19 +168,26 @@ def som_grouped_cv_scores(spark: SparkSession, sf_dir: str) -> list[tuple]:
         % _CV_FOLDS
     )
     tagged = emb.withColumn("fold", fold).persist()
-    out = []
+
+    def run_fold(f: int):
+        train = tagged.where(F.col("fold") != f)
+        val = tagged.where(F.col("fold") == f)
+        model = SOM(
+            height=3, width=3, maxIter=6, seed=42, featuresCol="embedding",
+            tMax=3.0, tMin=0.5,
+        ).fit(train)
+        n_val = val.count()
+        return (
+            f, int(model.summary.n_samples), n_val,
+            model.compute_cost(val) if n_val else float("nan"),
+        )
+
     try:
-        for f in range(_CV_FOLDS):
-            train = tagged.where(F.col("fold") != f)
-            val = tagged.where(F.col("fold") == f)
-            model = SOM(
-                height=3, width=3, maxIter=6, seed=42, featuresCol="embedding",
-                tMax=3.0, tMin=0.5,
-            ).fit(train)
-            out.append(
-                (f, int(model.summary.n_samples), val.count(),
-                 model.compute_cost(val) if val.count() else float("nan"))
-            )
+        tagged.count()
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=_CV_FOLDS) as pool:
+            out = list(pool.map(run_fold, range(_CV_FOLDS)))
     finally:
         tagged.unpersist()
     return out

@@ -465,20 +465,34 @@ def som_grid_scoreboard(spark: SparkSession, sf_dir: str):
     registered verdict's `n_best` measures the scoreboard instead of
     restating a constant.  Tests assert it row-by-row; the registered
     entry rolls it into hashable selection invariants."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from sparkml_som_spark.som import SOM
 
-    emb = load_table(spark, sf_dir, "embeddings", spread=True)
-    rows = []
-    for h, w in [(2, 2), (3, 3), (4, 4)]:
-        som = SOM(
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).persist()
+
+    def fit_candidate(hw):
+        h, w = hw
+        model = SOM(
             height=h, width=w, maxIter=8, seed=42, featuresCol="embedding",
             tMax=3.0, tMin=0.5,
+        ).fit(emb)
+        return (
+            h, w, h * w, round(model.summary.training_cost, 6),
+            model.summary.n_samples,
         )
-        model = som.fit(emb)
-        rows.append(
-            (h, w, h * w, round(model.summary.training_cost, 6),
-             model.summary.n_samples)
-        )
+
+    grid = [(2, 2), (3, 3), (4, 4)]
+    try:
+        # candidates are independent seeded fits — run them as
+        # concurrent jobs on the shared scheduler (the local-mode
+        # expression of a cluster's parallel model-selection sweep),
+        # reading one cached copy of the training table
+        emb.count()
+        with ThreadPoolExecutor(max_workers=len(grid)) as pool:
+            rows = list(pool.map(fit_candidate, grid))
+    finally:
+        emb.unpersist()
     # tiebreak toward the simpler model: the unique winner is the
     # smallest-cell-count row among the min-QE ties
     winner = min(rows, key=lambda r: (r[3], r[2]))
