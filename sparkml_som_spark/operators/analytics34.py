@@ -262,10 +262,11 @@ def sample_dedup_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sampled set, not just its size.
 
     Scale: inherits SemDeDup's sum(cell^2) pair bound (never
-    all-pairs); the sampling window partitions by cell, so no
-    partition exceeds cell occupancy; output is a bounded per-label
-    grid.  At 100 TB the grid quantizer swaps for `ann_ivf_som`'s
-    trained cells with identical topology."""
+    all-pairs); the per-cell draw runs through the salted two-phase
+    ranking (`topk_per_query` discipline), so even a pathologically
+    dense cell never lands on one sort task; output is a bounded
+    per-label grid.  At 100 TB the grid quantizer swaps for
+    `ann_ivf_som`'s trained cells with identical topology."""
     from sparkml_som_spark.functions import cosine
 
     emb = load_table(spark, sf_dir, "embeddings", spread=True).select(
@@ -296,11 +297,21 @@ def sample_dedup_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("is_dropped").isNull())
         .select("vec_id", "label", "cx", "cy")
     )
-    w = Window.partitionBy("cx", "cy").orderBy(
-        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
-    )
+    # per-cell draw through the salted two-phase ranking (the
+    # `topk_per_query` discipline): phase 1 keeps the k md5-smallest
+    # within (cell, salt) — each partition holds ~1/n_salt of the
+    # cell — and phase 2 ranks the <= k * n_salt survivors per cell,
+    # so no task ever sorts a whole dense cell; the union of per-salt
+    # top-ks contains the per-cell top-k, making the result identical
+    # to the single-window form for every input
+    order = (F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+    w1 = Window.partitionBy("cx", "cy", "_salt").orderBy(*order)
+    w2 = Window.partitionBy("cx", "cy").orderBy(*order)
     sampled = (
-        kept.withColumn("rk", F.row_number().over(w))
+        kept.withColumn("_salt", F.pmod(F.xxhash64("vec_id"), F.lit(8)))
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= _DSAMP_K)
+        .withColumn("rk", F.row_number().over(w2))
         .where(F.col("rk") <= _DSAMP_K)
         .groupBy("label")
         .agg(
