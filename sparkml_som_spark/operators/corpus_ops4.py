@@ -269,6 +269,72 @@ def media_video_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_MS = 2000
+_HOP_MS = 1500
+
+
+@register(
+    "media_audio_chunk_plan",
+    # the oracle replays the chunker directly: DuckDB's stepped range
+    # generates the same start sequence, LEAST applies the same clip
+    sql=f"""
+    WITH m AS (
+        SELECT doc_id AS media_id, n_chars AS d
+        FROM documents WHERE n_chars > 0 AND doc_id % 3 = 1
+    ), c AS (
+        SELECT media_id, u.s AS start_ms,
+               LEAST(u.s + {_CHUNK_MS}, d) AS end_ms, d
+        FROM m, unnest(range(0, d, {_HOP_MS})) AS u(s)
+    )
+    SELECT media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(end_ms - start_ms) AS BIGINT) AS chunked_ms,
+           CAST(MAX(end_ms) AS BIGINT) AS max_end_ms,
+           BOOL_AND(end_ms > start_ms) AS all_nonempty
+    FROM c GROUP BY media_id
+    """,
+    desc=f"multimodal: overlapping audio chunk plan ({_CHUNK_MS} ms windows, {_HOP_MS} ms hop) from metadata only, under full oracle",
+)
+def media_audio_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registers the audio chunk/window planner as a first-class query
+    — the audio sibling of `media_video_frame_plan` (the brief's
+    image/AUDIO/video triple): synthesize an audio-media table
+    (duration_ms stands in from n_chars — the testdata has no blob
+    column; doc_id % 3 == 1 keeps the synthetic audio and video corpora
+    disjoint), run the overlapping chunker, and aggregate per clip.
+    `chunked_ms` pins the overlap arithmetic exactly (every chunk's
+    clipped length summed), `max_end_ms` pins the boundary clip, and
+    the oracle replays the same stepped sequence in SQL — an
+    off-by-one in start stepping, clipping, or the final partial chunk
+    breaks the value hash.
+
+    Scale: the planner touches ONLY the metadata column (payload never
+    scanned — column pruning); output rows scale with chunks, not
+    bytes; the decoder (`extract_audio_features`, stub-gated on
+    soundfile) attaches downstream as mapInPandas over chunks joined
+    back to payloads."""
+    from sparkml_som_spark.operators.multimodal import plan_audio_chunks
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    media = docs.where(F.col("doc_id") % 3 == 1).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.col("n_chars").alias("duration_ms"),
+    )
+    chunks = plan_audio_chunks(media, chunk_ms=_CHUNK_MS, hop_ms=_HOP_MS)
+    return chunks.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("chunk_end_ms") - F.col("chunk_start_ms"))
+        .cast("long")
+        .alias("chunked_ms"),
+        F.max("chunk_end_ms").cast("long").alias("max_end_ms"),
+        (F.count_if(F.col("chunk_end_ms") <= F.col("chunk_start_ms")) == 0).alias(
+            "all_nonempty"
+        ),
+    )
+
+
 _Z_THRESH = 2.0
 
 

@@ -124,6 +124,131 @@ def extract_image_features(media: DataFrame, embed_dim: int = 16) -> DataFrame:
     )
 
 
+try:  # real decoder when soundfile is installed; this container lacks it
+    import soundfile as _soundfile
+
+    HAS_AUDIO_DECODE = True
+except ImportError:  # pragma: no cover - env-dependent
+    _soundfile = None
+    HAS_AUDIO_DECODE = False
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("rms", T.FloatType()),
+        T.StructField("zero_crossings", T.IntegerType()),
+    ]
+)
+
+_AUDIO_STUB_SAMPLES = 1024
+
+
+def _decode_audio_stub(payload: bytes) -> np.ndarray:
+    """Fallback decode: a deterministic fake mono waveform in [-1, 1]
+    (seeded by content hash) so tests exercise the exact plumbing —
+    batch shapes, dtype, schema — without the library."""
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return (rng.random(_AUDIO_STUB_SAMPLES, dtype=np.float32) * 2.0) - 1.0
+
+
+def _decode_audio(payload: bytes) -> np.ndarray:
+    """Decode an audio blob to a float32 mono waveform in [-1, 1].
+
+    Dispatches to soundfile when available (decode, mono-mix) and
+    otherwise to the deterministic stub — installing soundfile flips
+    the pipeline to real decoding with no code change
+    (`HAS_AUDIO_DECODE` reports which path is live); undecodable blobs
+    fall back to the stub rather than killing the stage, same policy
+    as `_decode_image`."""
+    if HAS_AUDIO_DECODE:
+        import io
+
+        try:
+            wav, _sr = _soundfile.read(io.BytesIO(payload), dtype="float32")
+            if wav.ndim > 1:  # mono-mix multichannel
+                wav = wav.mean(axis=1)
+            return wav.astype(np.float32)
+        except Exception:  # corrupt/unsupported containers
+            return _decode_audio_stub(payload)
+    return _decode_audio_stub(payload)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Decode + feature-extract audio blobs via mapInPandas (Arrow
+    batches) — the audio twin of `extract_image_features`.
+
+    Real pattern: per-batch vectorized decode -> waveform statistics
+    (RMS energy, zero-crossing count — the cheap speech/music/silence
+    discriminators a corpus triage pass computes before any model).
+    With the stub decoder the statistics are deterministic functions of
+    the payload hash, so tests assert exact values."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            hashes, sizes, rmss, zcs = [], [], [], []
+            for payload in pdf["payload"]:
+                raw = bytes(payload)
+                wav = _decode_audio(raw)
+                hashes.append(hashlib.sha256(raw).hexdigest())
+                sizes.append(len(raw))
+                rmss.append(float(np.sqrt(np.mean(wav * wav))))
+                zcs.append(int(np.sum(np.signbit(wav[1:]) != np.signbit(wav[:-1]))))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "sha256": hashes,
+                    "n_bytes": sizes,
+                    "rms": np.asarray(rmss, dtype=np.float32),
+                    "zero_crossings": zcs,
+                }
+            )
+
+    return media.where(F.col("kind") == "audio").select("media_id", "payload").mapInPandas(
+        run, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
+def plan_audio_chunks(
+    media: DataFrame, chunk_ms: int = 2000, hop_ms: int = 1500
+) -> DataFrame:
+    """Overlapping chunk/window plan for audio blobs — the segmentation
+    a speech-training pipeline runs (fixed windows with overlap so no
+    utterance is cut at a hard boundary; Whisper-style prep).  Emits
+    (media_id, chunk_start_ms, chunk_end_ms) purely from the metadata
+    column: starts at 0, hop_ms, 2*hop_ms, ...; each chunk clips to the
+    clip's duration.  With hop_ms <= chunk_ms consecutive chunks
+    overlap by chunk_ms - hop_ms and the union covers the whole clip.
+    The payload is never scanned (column pruning); the decoder attaches
+    downstream as mapInPandas over chunks joined back to payloads."""
+    return (
+        media.where(
+            (F.col("kind") == "audio")
+            & F.col("duration_ms").isNotNull()
+            & (F.col("duration_ms") > 0)
+        )
+        .select(
+            "media_id",
+            "duration_ms",
+            F.explode(
+                F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(hop_ms))
+            ).alias("chunk_start_ms"),
+        )
+        .select(
+            "media_id",
+            "chunk_start_ms",
+            F.least(
+                F.col("chunk_start_ms") + chunk_ms, F.col("duration_ms")
+            ).alias("chunk_end_ms"),
+        )
+    )
+
+
 def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plan for video blobs: emits (media_id, frame_ts_ms)
     rows via the metadata column only — the actual frame decode is the

@@ -131,6 +131,7 @@ QUERIES = [
     # round-10 wave
     "som_grouped_cv",                 # md5 group folds + K independent fits
     "sample_dedup_stratified",        # within-cell dedup + k-per-cell draw
+    "media_audio_chunk_plan",         # metadata-only overlapping chunker
 ]
 
 
