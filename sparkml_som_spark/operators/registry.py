@@ -325,10 +325,11 @@ def register(name: str, sql: str | None = None, desc: str = ""):
 # First in line for the round-11 rotation: window_rank_family_events
 # (never sampled; the r9 VERDICT listed it driver-pass in error),
 # cross_source_overlap (moved onto the persisted jaccard edge table
-# this round), and the two round-10 operators (som_grouped_cv,
-# sample_dedup_stratified — oracle-green at all three SFs,
-# replay-tested in tests/test_analytics34.py), then the remaining
-# never-sampled back-catalog.
+# this round), and the three round-10 operators (som_grouped_cv,
+# sample_dedup_stratified, media_audio_chunk_plan — each oracle-green
+# at all three SFs, replay/law-tested in tests/test_analytics34.py
+# and tests/test_multimodal.py), then the remaining never-sampled
+# back-catalog.
 _PRIORITY: tuple[str, ...] = (
     "som_cluster_summary",
     "approx_distinct_users",
