@@ -67,8 +67,8 @@ def main() -> None:
     _SOM(height=2, width=2, maxIter=2, seed=1).fit(_wdf)
 
     # Host canaries: two fixed synthetic workloads (pure-JVM codegen
-    # fold; Arrow/pandas_udf round-trip) timed best-of-2 before and
-    # after the suite.  Round-10 lesson: a controlled re-run of eight
+    # fold; Arrow/pandas_udf round-trip) timed best-of-3 (after the
+    # untimed warm above) before and after the suite.  Round-10 lesson: a controlled re-run of eight
     # queries that benched at 1.0x of their frozen best in r9 measured
     # 1.4-1.9x in a later session — the HOST, not the queries, moves
     # by that much between sessions.  The canary factor lets a reader

@@ -43,6 +43,12 @@ from sparkml_som_spark.sources import load_table, read_any, write_any
 # --------------------------------------------------------------------------
 
 
+# NOTE: the Spark side reads the shared `copurchase_edges` table, which
+# is built behind analytics30's `_PAIR_CAP` hot-group guard; this oracle
+# is cap-free.  The two are equivalent only while no order carries
+# >= _PAIR_CAP distinct parts (TPC-H max is 7 vs cap 256) — that data
+# invariant is pinned by
+# tests/test_analytics9.py::test_pair_cap_never_triggers_on_bench_corpus.
 @register(
     "triangle_count_copurchase",
     sql="""

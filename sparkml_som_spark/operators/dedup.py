@@ -1023,8 +1023,10 @@ def jaccard_sym_edges(
     from sparkml_som_spark.operators.sources_queries import _scratch
 
     # v2: schema gained the `jaccard` column (round 10); the version
-    # bump keeps a stale two-column scratch dir from poisoning reads
-    path = _scratch(sf_dir, "jaccard08_sym_edges_v2")
+    # bump keeps a stale two-column scratch dir from poisoning reads.
+    # thr is part of the cache key: a caller passing thr != 0.8 must
+    # NOT receive the 0.8 edge set another caller built
+    path = _scratch(sf_dir, f"jaccard{str(thr).replace('.', '')}_sym_edges_v2")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         docs = load_table(spark, sf_dir, "documents", spread=True)
         handles: list = []

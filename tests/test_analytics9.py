@@ -97,6 +97,29 @@ def test_triangle_registry_invariants(spark):
     assert r["n_triangles"] >= 0
 
 
+def test_pair_cap_never_triggers_on_bench_corpus(spark):
+    """The shared `copurchase_edges` table is built behind the
+    `_PAIR_CAP` hot-group guard, while `triangle_count_copurchase`'s
+    DuckDB oracle is cap-free.  Oracle equivalence therefore rests on
+    the cap never firing on the bench corpus (TPC-H orders carry <= 7
+    items).  Pin that data invariant explicitly so a corpus change
+    that silently violates it fails HERE, not as a mystery hash
+    mismatch in the driver gate."""
+    from sparkml_som_spark.operators.analytics30 import _PAIR_CAP
+
+    max_items = (
+        load_table(spark, SF, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert max_items < _PAIR_CAP, (
+        f"max items/order {max_items} >= _PAIR_CAP {_PAIR_CAP}: the capped "
+        "copurchase_edges table no longer matches the cap-free oracles"
+    )
+
+
 def test_countmin_one_sided_and_collision_free_width(spark):
     """The sketch estimate must never undercount; with width >> the
     distinct-term count the estimate must be EXACT for every term."""
