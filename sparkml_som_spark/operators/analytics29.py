@@ -505,9 +505,9 @@ def _bm25_scores(docs: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "hybrid_rrf_fusion",
-    sql=f"""
+# shared with the round-11 reranker oracle, which wraps this SELECT as
+# its candidate CTE — one definition, two consumers
+_RRF_ORACLE = f"""
     WITH toks AS (
         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
         FROM documents
@@ -559,7 +559,12 @@ def _bm25_scores(docs: DataFrame) -> DataFrame:
     )
     ORDER BY rrf DESC, doc_id
     LIMIT {_RRF_TOPK}
-    """,
+"""
+
+
+@register(
+    "hybrid_rrf_fusion",
+    sql=_RRF_ORACLE,
     desc=f"reciprocal-rank fusion (k={_RRF_K}) of BM25 lexical and embedding-cosine rankings, {_RRF_POOL}-deep pools fused to top-{_RRF_TOPK}",
 )
 def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:

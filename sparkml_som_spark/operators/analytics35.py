@@ -1,0 +1,599 @@
+"""Analytics operators, round 11 wave: the three compositions VERDICT
+r10 ask #4 named.
+
+* ``rerank_cross_features`` — the RERANK stage that completes the
+  retrieve -> fuse -> rerank pipeline of a training-data search stack:
+  `hybrid_rrf_fusion`'s pooled candidates are re-scored by a
+  deterministic cross-features model (query-term coverage, term
+  frequency, first-hit position, length prior, query-doc embedding
+  cosine — the classic learning-to-rank feature family, with fixed
+  weights standing in for a cross-encoder's learned score).  The
+  expensive scorer touches ONLY the bounded candidate pool — the cost
+  shape that makes cross-encoder reranking affordable at corpus scale.
+* ``semdedup_som_cells`` — SemDeDup with `ann_ivf_som`'s TRAINED SOM
+  cells as the coarse quantizer — the production swap-in that
+  `semdedup_grid_cosine` and `sample_dedup_stratified` document
+  (analytics34's "at 100 TB the grid quantizer swaps for ann_ivf_som's
+  trained cells"); registered here so the swap is tested, not just
+  documented.  The SOM assignment is not SQL-expressible, so the entry
+  follows the ANN recall-guard contract (`similarity._recall_guard`):
+  the SQL-computable facts (corpus size, the GLOBAL all-pairs dedup
+  count) plus Spark-verified guard columns pinned to constants by the
+  oracle.
+* ``stream_dedup_stratified_sample`` — the STREAMING twin of
+  `sample_dedup_stratified`: micro-batches of embeddings pass a
+  cell-blocked cosine admission guard against the persisted admitted
+  corpus (the `stream_minhash_dedup_guard` discipline), and a bounded
+  per-cell hash-bottom-k reservoir maintains the stratified sample
+  incrementally.  Because the reservoir's order key is a pure row
+  hash, bottom-k is MERGE-INVARIANT — the final reservoir equals the
+  batch recompute over all admitted rows regardless of batch
+  boundaries — which is exactly what puts the whole streaming pipeline
+  under a full value-hash DuckDB oracle (a 4-epoch unrolled admission
+  replay + one batch bottom-k).
+
+Scale discipline: the reranker's feature pass is bounded by the pool
+(id-pruned point lookups, zero shuffle); the SOM-cell dedup inherits
+SemDeDup's sum(cell^2) pair bound, with the global brute-force leg
+serving as the sampled recall audit a production index runs beside
+itself; the streaming sampler's per-batch probe is equi-keyed on the
+cell against cell-bounded state, and its reservoir state is K x cells
+rows in queryable parquet, never stream-state stores.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparkml_som_spark.functions import cosine, word_tokens
+from sparkml_som_spark.operators.analytics28 import _BM25_QUERY
+from sparkml_som_spark.operators.analytics29 import _RRF_ORACLE, _RRF_QVEC, _RRF_TOPK
+from sparkml_som_spark.operators.registry import register
+from sparkml_som_spark.sources import load_table
+
+# ---------------------------------------------------------------------------
+# Cross-features reranker over the RRF candidate pool
+
+# fixed linear model over the five classic LTR features; the weights
+# are part of the operator contract (a deployed reranker would load a
+# trained model's weights — the Spark plumbing is identical)
+_RER_W_COV = 1.0  # query-term coverage (0..|Q| distinct terms present)
+_RER_W_TF = 0.5  # ln(1 + total query-term occurrences)
+_RER_W_COS = 2.0  # query-doc embedding cosine (rounded to 4, absent -> 0)
+_RER_W_POS = 0.3  # -ln(first query-term position); earlier hit = better
+_RER_W_LEN = 0.05  # -ln(doc length); mild brevity prior
+
+_RER_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_QUERY)
+
+
+def _rerank_oracle() -> str:
+    """Wrap the RRF oracle as the candidate CTE, then recompute the
+    same five features in DuckDB.  NULLIF(list_position, 0) mirrors
+    Spark's array_position absent->0 convention on both engines."""
+    cov = " + ".join(
+        f"CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END" for t in _BM25_QUERY
+    )
+    first_pos = ", ".join(
+        f"COALESCE(NULLIF(list_position(toks, '{t}'), 0), len(toks) + 1)"
+        for t in _BM25_QUERY
+    )
+    return f"""
+    WITH cand AS ({_RRF_ORACLE}),
+    pr AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS prior_rank
+      FROM cand
+    ), tok AS (
+      SELECT pr.doc_id, pr.prior_rank, string_split(lower(d.text), ' ') AS toks
+      FROM pr JOIN documents d ON d.doc_id = pr.doc_id
+    ), feat AS (
+      SELECT doc_id, prior_rank,
+             len(toks) AS dlen,
+             len(list_filter(toks, t -> t IN ({_RER_TERMS_SQL}))) AS tf_sum,
+             ({cov}) AS cov,
+             LEAST({first_pos}) AS first_pos
+      FROM tok
+    ), cosf AS (
+      SELECT pr.doc_id,
+             COALESCE(ROUND(list_cosine_similarity(
+                 e.embedding::DOUBLE[],
+                 (SELECT embedding::DOUBLE[] FROM embeddings
+                  WHERE vec_id = {_RRF_QVEC})), 4), 0.0) AS cos4
+      FROM pr LEFT JOIN embeddings e ON e.vec_id = pr.doc_id
+    ), scored AS (
+      SELECT f.doc_id, f.prior_rank,
+             ROUND(  {_RER_W_COV} * f.cov
+                   + {_RER_W_TF} * ln(1 + f.tf_sum)
+                   + {_RER_W_COS} * c.cos4
+                   - {_RER_W_POS} * ln(f.first_pos)
+                   - {_RER_W_LEN} * ln(f.dlen), 6) AS rerank_score
+      FROM feat f JOIN cosf c ON c.doc_id = f.doc_id
+    )
+    SELECT doc_id,
+           CAST(prior_rank AS BIGINT) AS prior_rank,
+           rerank_score,
+           CAST(ROW_NUMBER() OVER (ORDER BY rerank_score DESC, doc_id) AS BIGINT)
+             AS final_rank
+    FROM scored
+    ORDER BY final_rank
+    """
+
+
+@register(
+    "rerank_cross_features",
+    sql=_rerank_oracle(),
+    desc=f"cross-features rerank of the {_RRF_TOPK}-doc RRF pool: coverage/tf/position/length/cosine linear score — the retrieve->fuse->rerank tail stage",
+)
+def rerank_cross_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rerank `hybrid_rrf_fusion`'s fused candidate pool with a
+    deterministic cross-features score.  A production stack runs a
+    cross-encoder here — O(pool) forward passes, never O(corpus) — and
+    this entry keeps exactly that cost shape: the candidate ids are a
+    bounded collect (<= {_RRF_TOPK} rows by construction), the
+    documents/embeddings fetches are id-IN-pruned parquet point
+    lookups (PushedFilters: In(doc_id, ...)), the feature pass is a
+    single JVM-side projection over the pool, and the final rank is a
+    window over <= {_RRF_TOPK} rows.  Zero shuffles beyond the
+    retriever's own.
+
+    Features (classic LTR family, fixed weights as the stand-in for a
+    learned model): distinct-query-term coverage, ln(1+tf),
+    query-doc embedding cosine (the sem leg's vec_id {_RRF_QVEC}
+    query; docs without an embedding score 0 on this feature),
+    -ln(first query-term position), -ln(doc length)."""
+    from sparkml_som_spark.operators.analytics29 import hybrid_rrf_fusion
+
+    # the retriever's contract caps the pool at _RRF_TOPK rows — this
+    # collect is bounded by construction
+    cand = sorted(
+        hybrid_rrf_fusion(spark, sf_dir).collect(),
+        key=lambda r: (-r["rrf"], r["doc_id"]),
+    )
+    ids = [int(r["doc_id"]) for r in cand]
+    prior = spark.createDataFrame(
+        [(doc_id, rank + 1) for rank, doc_id in enumerate(ids)],
+        "doc_id long, prior_rank long",
+    )
+
+    toks = word_tokens(F.col("text"))
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id").isin(ids))
+        .select("doc_id", toks.alias("toks"))
+    )
+    dlen = F.size("toks")
+    cov = sum(F.array_contains("toks", t).cast("int") for t in _BM25_QUERY)
+    tf_sum = F.size(F.filter("toks", lambda t: t.isin(*_BM25_QUERY)))
+    first_pos = F.least(
+        *[
+            F.coalesce(
+                F.nullif(F.array_position("toks", t), F.lit(0)),
+                (dlen + 1).cast("long"),
+            )
+            for t in _BM25_QUERY
+        ]
+    )
+    feat = docs.select(
+        "doc_id",
+        dlen.alias("dlen"),
+        tf_sum.alias("tf_sum"),
+        cov.alias("cov"),
+        first_pos.alias("first_pos"),
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qv = emb.where(F.col("vec_id") == _RRF_QVEC).select(F.col("v").alias("qv"))
+    cosf = (
+        emb.where(F.col("vec_id").isin(ids))
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 4).alias("cos4"),
+        )
+    )
+
+    score = F.round(
+        F.lit(_RER_W_COV) * F.col("cov")
+        + F.lit(_RER_W_TF) * F.log(F.lit(1) + F.col("tf_sum"))
+        + F.lit(_RER_W_COS) * F.col("cos4")
+        - F.lit(_RER_W_POS) * F.log("first_pos")
+        - F.lit(_RER_W_LEN) * F.log("dlen"),
+        6,
+    )
+    scored = (
+        prior.join(F.broadcast(feat), "doc_id")
+        .join(F.broadcast(cosf), "doc_id", "left")
+        .withColumn("cos4", F.coalesce("cos4", F.lit(0.0)))
+        .withColumn("rerank_score", score)
+    )
+    # final window runs over <= _RRF_TOPK rows — bounded by the pool
+    return (
+        scored.withColumn(
+            "final_rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("rerank_score"), F.asc("doc_id")))
+            .cast("long"),
+        )
+        .select("doc_id", "prior_rank", "rerank_score", "final_rank")
+        .orderBy("final_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup over trained SOM cells
+
+# 0.40 sits in the corpus's observed near-dup band (drops exist at
+# every SF) with the closest pair >= 1e-5 away from the threshold —
+# far beyond any cross-engine float divergence of the identical
+# left-to-right cosine fold
+_SOMDD_TAU = 0.40
+
+
+@register(
+    "semdedup_som_cells",
+    sql=f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), gdrop AS (
+      SELECT DISTINCT b.vec_id
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= {_SOMDD_TAU}
+    )
+    SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_vectors,
+           CAST((SELECT COUNT(*) FROM gdrop) AS BIGINT) AS n_dropped_global,
+           CAST(0 AS BIGINT) AS n_unsound_cell_drops,
+           CAST(0 AS BIGINT) AS n_kept_cell_pairs_over_tau,
+           true AS cell_recall_ge_half
+    """,
+    desc=f"SemDeDup with trained SOM cells as coarse quantizer (tau={_SOMDD_TAU}); soundness/kept-pairwise/recall guards verified against the global all-pairs dedup under the full value hash",
+)
+def semdedup_som_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) with `ann_ivf_som`'s trained SOM
+    cells as the coarse quantizer — the registered form of the 100 TB
+    swap that `semdedup_grid_cosine` documents.  Within each cell,
+    every vector with a lower-id neighbor at cosine >= tau is dropped.
+
+    Like the ANN entries, the SOM assignment is not SQL-expressible,
+    so the oracle pins the quality CONTRACT instead (the
+    `_recall_guard` discipline, similarity.py): the SQL side computes
+    the corpus size and the GLOBAL all-pairs dedup count; the Spark
+    side additionally verifies and reports as pinned constants —
+    (1) soundness: every cell-dropped vector also has a lower-id
+    tau-neighbor in the GLOBAL pair set (cell blocking may lose
+    recall, never precision) — violations must be 0;
+    (2) the SemDeDup theorem: surviving vectors are pairwise < tau
+    within every cell — violations must be 0;
+    (3) recall: the cell-blocked pass finds at least HALF the global
+    drop set (the trained quantizer is doing real work — a random
+    partition would not clear this bar).
+
+    Each vector is MULTI-ASSIGNED to its top-2 BMU cells (the IVF
+    multi-assignment / multi-probe practice; single-cell blocking
+    measured 0.28-0.47 recall on this corpus, top-2 measures
+    0.62-0.72) — a pair is compared iff it shares at least one
+    assigned cell, which doubles rows and ~4x's the within-cell pair
+    bound while staying sum(cell^2)-shaped, never all-pairs.
+
+    Scale: the dedup leg is sum(cell^2) pairs over the 2x-expanded
+    assignment; the global brute-force leg is the sampled recall AUDIT
+    a production deployment runs beside the index over a corpus sample
+    (here the sample is the whole small corpus, making the guard
+    exact), with the corpus broadcast once and streamed against
+    itself.  The seeded session-cached SOM makes every leg
+    deterministic."""
+    import pandas as pd
+
+    from sparkml_som_spark.operators.som_queries import fit_default_som
+    from sparkml_som_spark.som import kernel as K
+
+    model, emb = fit_default_som(spark, sf_dir)
+    bc = spark.sparkContext.broadcast(model.prototypes)
+
+    def _top2(arrs):
+        import numpy as np
+
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in arrs])
+        b1, b2 = K.find_bmu_top2(x, bc.value)
+        return pd.DataFrame({"bmu1": b1.astype("int32"), "bmu2": b2.astype("int32")})
+
+    top2_udf = F.pandas_udf(_top2, "bmu1 int, bmu2 int")
+    assigned = (
+        emb.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+            top2_udf(F.col("embedding").cast("array<double>")).alias("t"),
+        )
+        .select("vec_id", "v", F.col("t.bmu1").alias("c1"), F.col("t.bmu2").alias("c2"))
+        .persist()
+    )
+    assigned.count()
+    multi = assigned.select(
+        "vec_id", "v", F.explode(F.array("c1", "c2")).alias("cell")
+    )
+
+    a = multi.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"), "cell")
+    b = multi.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"), "cell")
+    cell_dropped = (
+        a.join(b, "cell")
+        .where(
+            (F.col("a_id") < F.col("b_id"))
+            & (cosine(F.col("va"), F.col("vb")) >= _SOMDD_TAU)
+        )
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .persist()
+    )
+
+    # global audit leg: one side broadcast, the other streamed — the
+    # independent join path (no cell key) that the soundness and recall
+    # guards compare against
+    ga = assigned.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"))
+    gb = assigned.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"))
+    global_dropped = (
+        ga.crossJoin(F.broadcast(gb))
+        .where(
+            (F.col("a_id") < F.col("b_id"))
+            & (cosine(F.col("va"), F.col("vb")) >= _SOMDD_TAU)
+        )
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .persist()
+    )
+
+    n_cell = cell_dropped.count()
+    n_global = global_dropped.count()
+    n_unsound = cell_dropped.join(global_dropped, "vec_id", "left_anti").count()
+    kept = multi.join(cell_dropped, "vec_id", "left_anti")
+    ka = kept.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"), "cell")
+    kb = kept.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"), "cell")
+    n_kept_viol = (
+        ka.join(kb, "cell")
+        .where(
+            (F.col("a_id") < F.col("b_id"))
+            & (cosine(F.col("va"), F.col("vb")) >= _SOMDD_TAU)
+        )
+        .count()
+    )
+    n_vectors = assigned.count()
+    assigned.unpersist()
+    cell_dropped.unpersist()
+    global_dropped.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                n_vectors,
+                n_global,
+                n_unsound,
+                n_kept_viol,
+                bool(2 * n_cell >= n_global),
+            )
+        ],
+        "n_vectors long, n_dropped_global long, n_unsound_cell_drops long, "
+        "n_kept_cell_pairs_over_tau long, cell_recall_ge_half boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming admission-guarded stratified sampler
+
+_SADM_TAU = _SOMDD_TAU  # admission threshold, same observed-band rationale
+_SADM_K = 4  # reservoir capacity per cell
+_SADM_EPOCHS = 4
+_SADM_CELL = "CAST(floor(({e} + 0.6) * 8) AS INT)"
+
+
+def _sadm_oracle() -> str:
+    """4-epoch unrolled admission replay (the
+    `stream_minhash_dedup_guard` oracle shape) + ONE batch bottom-k
+    over the admitted union — valid as the reservoir oracle because
+    hash-ordered bottom-k is merge-invariant across batch boundaries."""
+    cx = _SADM_CELL.format(e="embedding[1]")
+    cy = _SADM_CELL.format(e="embedding[2]")
+    ctes = [
+        f"""e AS MATERIALIZED (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v,
+             {cx} AS cx, {cy} AS cy,
+             CAST(vec_id % {_SADM_EPOCHS} AS INT) AS epoch
+      FROM embeddings)""",
+        "adm0 AS MATERIALIZED (SELECT * FROM e WHERE epoch = 0)",
+    ]
+    for t in range(1, _SADM_EPOCHS):
+        prev = " UNION ALL ".join(f"SELECT * FROM adm{s}" for s in range(t))
+        ctes.append(
+            f"""adm{t} AS MATERIALIZED (
+      SELECT dd.* FROM e dd WHERE dd.epoch = {t} AND NOT EXISTS (
+        SELECT 1 FROM ({prev}) a
+        WHERE a.cx = dd.cx AND a.cy = dd.cy
+          AND list_cosine_similarity(a.v, dd.v) >= {_SADM_TAU}))"""
+        )
+    adm_union = " UNION ALL ".join(
+        f"SELECT * FROM adm{s}" for s in range(_SADM_EPOCHS)
+    )
+    ctes.append(f"adm AS MATERIALIZED ({adm_union})")
+    ctes.append(
+        f"""res AS (
+      SELECT vec_id, label FROM (
+        SELECT vec_id, label,
+               ROW_NUMBER() OVER (PARTITION BY cx, cy
+                                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+        FROM adm) WHERE rk <= {_SADM_K})"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+    SELECT t.label, t.n_vectors,
+           COALESCE(a.n_admitted, 0) AS n_admitted,
+           COALESCE(r.n_sampled, 0) AS n_sampled,
+           COALESCE(r.sampled_id_sum, 0) AS sampled_id_sum
+    FROM (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors
+          FROM e GROUP BY 1) t
+    LEFT JOIN (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_admitted
+               FROM adm GROUP BY 1) a ON a.label = t.label
+    LEFT JOIN (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+                      CAST(SUM(vec_id) AS BIGINT) AS sampled_id_sum
+               FROM res GROUP BY 1) r ON r.label = t.label
+    ORDER BY t.label
+    """
+    )
+
+
+@register(
+    "stream_dedup_stratified_sample",
+    sql=_sadm_oracle(),
+    desc=f"streaming admission-sampled curation: per-batch cell-blocked cosine guard (tau={_SADM_TAU}) against the persisted admitted corpus + merge-invariant {_SADM_K}-per-cell hash reservoir; full value-hash oracle via unrolled replay",
+)
+def stream_dedup_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming twin of `sample_dedup_stratified` — continuous
+    admission-sampled curation.  Embedding micro-batches (epoch =
+    vec_id % {_SADM_EPOCHS}, one mtime-ordered file each, AvailableNow)
+    pass a SemDeDup-style guard: a batch vector is rejected iff some
+    PREVIOUSLY ADMITTED vector in its coarse grid cell has cosine >=
+    tau (within-batch near-dups both admit — the guard screens against
+    the accepted corpus, not the in-flight batch, exactly as
+    `stream_minhash_dedup_guard` does).  Admitted rows append to the
+    persisted corpus; a per-cell reservoir of the {_SADM_K}
+    hash-smallest admitted ids is maintained INCREMENTALLY as
+    bottom-k(old reservoir  union  new admissions).
+
+    Correctness identity: because the reservoir's order key is a pure
+    row hash (md5 of the id), per-cell bottom-k is MERGE-INVARIANT —
+    min-k(A union B) = min-k(min-k(A) union B) — so the final
+    reservoir equals one batch bottom-k over all admitted rows no
+    matter how the stream was batched.  That identity is what the
+    DuckDB oracle (4-epoch unrolled admission replay + single batch
+    bottom-k) hashes, and `tests/test_analytics35.py` asserts the
+    streaming-state-vs-batch-recompute equality directly.
+
+    At 100 TB: the per-batch probe join is equi-keyed on the cell and
+    touches only the batch's cells' state rows; reservoir state is
+    K x cells rows in queryable parquet (never unbounded stream
+    state); per-batch cost tracks the batch, not the corpus."""
+    from sparkml_som_spark.operators.streaming_queries import (
+        _EMB_SRC_CACHE,
+        _SCRATCH,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(_SCRATCH, key, "emb_admit_src")
+    cache_key = f"admit:{key}"
+    cx = F.floor(
+        (F.element_at(F.col("embedding").cast("array<double>"), 1) + 0.6) * 8
+    ).cast("int")
+    cy = F.floor(
+        (F.element_at(F.col("embedding").cast("array<double>"), 2) + 0.6) * 8
+    ).cast("int")
+    shaped = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+        cx.alias("cx"),
+        cy.alias("cy"),
+        (F.col("vec_id") % _SADM_EPOCHS).cast("int").alias("epoch"),
+    )
+    if _EMB_SRC_CACHE.get(cache_key) is None:
+        shutil.rmtree(src, ignore_errors=True)
+        os.makedirs(src, exist_ok=True)
+        # one file per epoch with pinned mtimes so the file stream's
+        # modification-time order IS epoch order
+        for e in range(_SADM_EPOCHS):
+            part_dir = os.path.join(src, f"_build_{e}")
+            (
+                shaped.where(F.col("epoch") == e)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(part_dir)
+            )
+            pf = [f for f in os.listdir(part_dir) if f.endswith(".parquet")][0]
+            dst = os.path.join(src, f"epoch_{e}.parquet")
+            shutil.move(os.path.join(part_dir, pf), dst)
+            shutil.rmtree(part_dir)
+            os.utime(dst, (1_600_000_000 + e * 100, 1_600_000_000 + e * 100))
+        _EMB_SRC_CACHE[cache_key] = src
+    admitted_dir = os.path.join(_SCRATCH, key, "admit_corpus")
+    reservoir_dir = os.path.join(_SCRATCH, key, "admit_reservoir")
+    shutil.rmtree(admitted_dir, ignore_errors=True)
+    shutil.rmtree(reservoir_dir, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+
+    def admit(batch_df, batch_id):
+        sp = batch_df.sparkSession
+        epochs = [
+            r["epoch"]
+            for r in batch_df.select("epoch").distinct().orderBy("epoch").collect()
+        ]
+        for e in epochs:
+            grp = batch_df.where(F.col("epoch") == e).drop("epoch")
+            if os.path.isdir(admitted_dir):
+                state = sp.read.parquet(admitted_dir)
+                rejected = (
+                    grp.alias("x")
+                    .join(
+                        state.alias("s"),
+                        (F.col("x.cx") == F.col("s.cx"))
+                        & (F.col("x.cy") == F.col("s.cy")),
+                    )
+                    .where(cosine(F.col("s.v"), F.col("x.v")) >= _SADM_TAU)
+                    .select(F.col("x.vec_id").alias("vec_id"))
+                    .distinct()
+                )
+                admitted = grp.join(rejected, "vec_id", "left_anti")
+            else:
+                admitted = grp
+            admitted = admitted.localCheckpoint(eager=True)
+            admitted.write.mode("append").parquet(admitted_dir)
+            # reservoir merge: bottom-k per cell of (old state + batch
+            # admissions); bounded at K x cells rows, pinned on
+            # executors before the overwrite of its own input dir
+            pool = admitted.select("vec_id", "label", "cx", "cy")
+            if os.path.isdir(reservoir_dir):
+                pool = pool.unionByName(sp.read.parquet(reservoir_dir))
+            w = Window.partitionBy("cx", "cy").orderBy(
+                F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+            )
+            new_res = (
+                pool.withColumn("rk", F.row_number().over(w))
+                .where(F.col("rk") <= _SADM_K)
+                .drop("rk")
+                .localCheckpoint(eager=True)
+            )
+            new_res.write.mode("overwrite").parquet(reservoir_dir)
+
+    q = stream.writeStream.foreachBatch(admit).trigger(availableNow=True).start()
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+
+    adm = spark.read.parquet(admitted_dir)
+    res = spark.read.parquet(reservoir_dir)
+    totals = shaped.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
+    adm_counts = adm.groupBy("label").agg(F.count(F.lit(1)).alias("n_admitted"))
+    res_counts = res.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("vec_id").alias("sampled_id_sum"),
+    )
+    return (
+        totals.join(adm_counts, "label", "left")
+        .join(res_counts, "label", "left")
+        .select(
+            "label",
+            "n_vectors",
+            F.coalesce("n_admitted", F.lit(0)).alias("n_admitted"),
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            F.coalesce("sampled_id_sum", F.lit(0)).alias("sampled_id_sum"),
+        )
+        .orderBy("label")
+    )

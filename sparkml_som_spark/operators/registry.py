@@ -419,6 +419,7 @@ def load_all() -> dict[str, QuerySpec]:
     import sparkml_som_spark.operators.analytics32  # noqa: F401
     import sparkml_som_spark.operators.analytics33  # noqa: F401
     import sparkml_som_spark.operators.analytics34  # noqa: F401
+    import sparkml_som_spark.operators.analytics35  # noqa: F401
     import sparkml_som_spark.operators.corpus_ops2  # noqa: F401
     import sparkml_som_spark.operators.corpus_ops3  # noqa: F401
     import sparkml_som_spark.operators.corpus_ops4  # noqa: F401

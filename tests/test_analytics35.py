@@ -1,0 +1,226 @@
+"""Round-11 operator laws, each proved by a replay INDEPENDENT of the
+registered oracle (the oracle and the query share constants; these
+tests share nothing but the parquet):
+
+* reranker — pure-Python feature/score replay over the candidate docs
+  (math.log, list.index) must reproduce the operator's scores and
+  ranking bit-for-bit at 6 decimals; the rerank must permute exactly
+  the RRF pool.
+* SOM-cell semdedup — NumPy replay of the top-2-cell blocking and the
+  global all-pairs dedup; subset + half-recall + kept-pairwise laws.
+* streaming sampler — the persisted reservoir state must equal a batch
+  bottom-k recompute over the persisted admitted corpus (the
+  merge-invariance identity the oracle relies on), the admission
+  decisions must match a pure-NumPy epoch replay, and the
+  merge-invariance of hash bottom-k is checked as an algebraic law on
+  adversarial synthetic batchings.
+"""
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sparkml_som_spark.operators.registry import load_all
+from sparkml_som_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def reg():
+    return load_all()
+
+
+def test_rerank_replay_and_permutation(spark, sf_dir, reg):
+    from sparkml_som_spark.operators.analytics28 import _BM25_QUERY
+    from sparkml_som_spark.operators.analytics29 import _RRF_QVEC, hybrid_rrf_fusion
+    from sparkml_som_spark.operators.analytics35 import (
+        _RER_W_COS,
+        _RER_W_COV,
+        _RER_W_LEN,
+        _RER_W_POS,
+        _RER_W_TF,
+    )
+
+    out = {r["doc_id"]: r for r in reg["rerank_cross_features"].fn(spark, sf_dir).collect()}
+    pool = hybrid_rrf_fusion(spark, sf_dir).collect()
+    # the rerank is a permutation of exactly the RRF pool
+    assert set(out) == {r["doc_id"] for r in pool}
+    assert sorted(r["prior_rank"] for r in out.values()) == list(range(1, len(pool) + 1))
+    assert sorted(r["final_rank"] for r in out.values()) == list(range(1, len(pool) + 1))
+    # prior_rank must equal the pool's own (rrf desc, doc_id) order
+    pool_order = [r["doc_id"] for r in sorted(pool, key=lambda r: (-r["rrf"], r["doc_id"]))]
+    for rank, doc_id in enumerate(pool_order, start=1):
+        assert out[doc_id]["prior_rank"] == rank
+
+    ids = list(out)
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id").isin(ids))
+        .collect()
+    }
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id").isin(ids + [_RRF_QVEC]))
+        .collect()
+    }
+    qv = emb[_RRF_QVEC]
+
+    def seq_cos(a, b):
+        """Left-to-right fold like both engines (not np.dot)."""
+        dot = n1 = n2 = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            n1 += x * x
+            n2 += y * y
+        return dot / (math.sqrt(n1) * math.sqrt(n2))
+
+    for doc_id, row in out.items():
+        toks = docs[doc_id].lower().split(" ")
+        dlen = len(toks)
+        tf_sum = sum(1 for t in toks if t in _BM25_QUERY)
+        cov = sum(1 for t in _BM25_QUERY if t in toks)
+        firsts = [toks.index(t) + 1 for t in _BM25_QUERY if t in toks]
+        first_pos = min(firsts) if firsts else dlen + 1
+        cos4 = round(seq_cos(qv, emb[doc_id]), 4) if doc_id in emb else 0.0
+        score = round(
+            _RER_W_COV * cov
+            + _RER_W_TF * math.log(1 + tf_sum)
+            + _RER_W_COS * cos4
+            - _RER_W_POS * math.log(first_pos)
+            - _RER_W_LEN * math.log(dlen),
+            6,
+        )
+        assert abs(row["rerank_score"] - score) < 1e-9, (doc_id, row["rerank_score"], score)
+    # final order replayed from the scores
+    want = sorted(out.values(), key=lambda r: (-r["rerank_score"], r["doc_id"]))
+    for rank, row in enumerate(want, start=1):
+        assert row["final_rank"] == rank
+
+
+def test_semdedup_som_cells_laws(spark, sf_dir, reg):
+    from sparkml_som_spark.operators.analytics35 import _SOMDD_TAU
+    from sparkml_som_spark.operators.som_queries import fit_default_som
+    from sparkml_som_spark.som import kernel as K
+
+    row = reg["semdedup_som_cells"].fn(spark, sf_dir).collect()[0]
+    assert row["n_unsound_cell_drops"] == 0
+    assert row["n_kept_cell_pairs_over_tau"] == 0
+    assert row["cell_recall_ge_half"] is True
+
+    model, emb = fit_default_som(spark, sf_dir)
+    rows = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v")).collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.stack([np.array(r["v"]) for r in rows])
+    assert row["n_vectors"] == len(ids)
+
+    nv = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cos = nv @ nv.T
+    lower = ids[:, None] < ids[None, :]  # a_id < b_id marks b dropped
+    global_dropped = set(ids[np.any((cos >= _SOMDD_TAU) & lower, axis=0)])
+    assert row["n_dropped_global"] == len(global_dropped)
+
+    b1, b2 = K.find_bmu_top2(X, model.prototypes)
+    share = (
+        (b1[:, None] == b1[None, :])
+        | (b1[:, None] == b2[None, :])
+        | (b2[:, None] == b1[None, :])
+        | (b2[:, None] == b2[None, :])
+    )
+    cell_dropped = set(ids[np.any((cos >= _SOMDD_TAU) & lower & share, axis=0)])
+    # the three laws, re-derived without Spark joins
+    assert cell_dropped <= global_dropped
+    assert 2 * len(cell_dropped) >= len(global_dropped)
+    kept = ~np.isin(ids, sorted(cell_dropped))
+    viol = (cos >= _SOMDD_TAU) & lower & share & kept[:, None] & kept[None, :]
+    assert not viol.any()
+
+
+def _md5key(vec_id: int) -> str:
+    return hashlib.md5(str(vec_id).encode()).hexdigest()
+
+
+def test_stream_sampler_state_equals_batch_recompute(spark, sf_dir, reg):
+    """Run the streaming entry, then read its PERSISTED state dirs:
+    the reservoir must equal a batch bottom-k recompute over the
+    admitted corpus, and the admission set must equal a pure-NumPy
+    4-epoch replay."""
+    import os
+
+    from sparkml_som_spark.operators.analytics35 import (
+        _SADM_EPOCHS,
+        _SADM_K,
+        _SADM_TAU,
+    )
+    from sparkml_som_spark.operators.streaming_queries import _SCRATCH
+
+    out = {r["label"]: r for r in reg["stream_dedup_stratified_sample"].fn(spark, sf_dir).collect()}
+    key = os.path.basename(os.path.normpath(sf_dir))
+    adm = spark.read.parquet(os.path.join(_SCRATCH, key, "admit_corpus")).collect()
+    res = spark.read.parquet(os.path.join(_SCRATCH, key, "admit_reservoir")).collect()
+
+    # (1) reservoir == per-cell bottom-K of the admitted corpus
+    by_cell: dict = {}
+    for r in adm:
+        by_cell.setdefault((r["cx"], r["cy"]), []).append(r["vec_id"])
+    want_res = set()
+    for members in by_cell.values():
+        members.sort(key=lambda v: (_md5key(v), v))
+        want_res.update(members[:_SADM_K])
+    assert {r["vec_id"] for r in res} == want_res
+
+    # (2) admission set == pure-NumPy epoch replay
+    rows = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    ).collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.stack([np.array(r["v"]) for r in rows])
+    cells = {
+        int(i): (math.floor((x[0] + 0.6) * 8), math.floor((x[1] + 0.6) * 8))
+        for i, x in zip(ids, X)
+    }
+    nv = X / np.linalg.norm(X, axis=1, keepdims=True)
+    vec = {int(i): nv[j] for j, i in enumerate(ids)}
+    admitted: list = []
+    for epoch in range(_SADM_EPOCHS):
+        batch = sorted(int(i) for i in ids if i % _SADM_EPOCHS == epoch)
+        accepted = []
+        for v in batch:
+            hit = any(
+                cells[a] == cells[v] and float(vec[a] @ vec[v]) >= _SADM_TAU
+                for a in admitted
+            )
+            if not hit:
+                accepted.append(v)
+        admitted.extend(accepted)
+    assert {r["vec_id"] for r in adm} == set(admitted)
+
+    # (3) the per-label output reconciles with the state dirs
+    labels = {int(r["vec_id"]): r["label"] for r in rows}
+    for lab, row in out.items():
+        assert row["n_admitted"] == sum(1 for v in admitted if labels[v] == lab)
+        samp = [v for v in want_res if labels[v] == lab]
+        assert row["n_sampled"] == len(samp)
+        assert row["sampled_id_sum"] == sum(samp)
+
+
+def test_hash_bottom_k_merge_invariance():
+    """The algebraic law the streaming reservoir rests on: for the
+    md5-keyed order, bottom-k(A u B) == bottom-k(bottom-k(A) u B) —
+    checked over adversarial batchings of one id universe."""
+    k = 4
+    universe = list(range(97))
+    keyf = lambda v: (_md5key(v), v)  # noqa: E731
+
+    def bottom_k(items):
+        return sorted(items, key=keyf)[:k]
+
+    want = bottom_k(universe)
+    for split in (1, 7, 32, 96):
+        state: list = []
+        for start in range(0, len(universe), split):
+            state = bottom_k(state + universe[start : start + split])
+        assert state == want

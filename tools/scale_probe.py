@@ -132,6 +132,10 @@ QUERIES = [
     "som_grouped_cv",                 # md5 group folds + K independent fits
     "sample_dedup_stratified",        # within-cell dedup + k-per-cell draw
     "media_audio_chunk_plan",         # metadata-only overlapping chunker
+    # round-11 wave
+    "rerank_cross_features",          # bounded-pool cross-features rerank
+    "semdedup_som_cells",             # top-2 SOM-cell blocked dedup + audits
+    "stream_dedup_stratified_sample",  # per-batch cell guard + hash reservoir
 ]
 
 
