@@ -330,56 +330,97 @@ def register(name: str, sql: str | None = None, desc: str = ""):
 # at all three SFs, replay/law-tested in tests/test_analytics34.py
 # and tests/test_multimodal.py), then the remaining never-sampled
 # back-catalog.
+# Round-11 rotation: twenty-five slots green BOTH r9+r10
+# (gains_lift_price_bands, info_gain_urgency_features,
+# quota_largest_remainder, ewma_forecast_daily,
+# forecast_interval_coverage, semdedup_grid_cosine, sql_group_by_all,
+# bpe_apply_segment, dedup_span_explain, quality_char_bigram_logloss,
+# bpe_train_merges, reachability_3hop_nations, upsert_scd1_orders,
+# silhouette_simplified_labels, som_per_label_models,
+# stream_interval_join_bucketed, dedup_incremental_components,
+# stream_trending_topk, sketch_merge_rolling_distinct,
+# split_train_val_test, media_video_frame_plan,
+# histogram_event_values, bm25_rank_docs,
+# source_python_datasource_writer, dedup_connected_components — all
+# still swept by the local gate) went to VERDICT r10 ask #1's list:
+# the three round-10 operators whose co-authored oracles the hard
+# signal never touched (som_grouped_cv, sample_dedup_stratified,
+# media_audio_chunk_plan), window_rank_family_events (the r9-verdict
+# bookkeeping error), cross_source_overlap (re-enters for a verdict
+# on its r10 persisted-jaccard-edge form), the three ROUND-11
+# operators so their first verdicts land with the round that built
+# them (rerank_cross_features, semdedup_som_cells,
+# stream_dedup_stratified_sample — each oracle-green at all three
+# SFs, replay/law-tested in tests/test_analytics35.py), and
+# seventeen never-sampled back-catalog entries spanning every
+# remaining wave: anomaly_zscore_daily, inverted_index_postings,
+# attribution_multi_touch, recursive_cte_month_spine,
+# pareto_frontier_lineitems, markov_event_transitions,
+# agg_median_mode, agg_listagg_nations, feature_scale_lineitem,
+# source_python_datasource, sql_script_price_band_report,
+# funnel_cohort_daily, tokenizer_vocab_coverage,
+# embedding_quantize_int8, cogroup_order_reconcile,
+# tz_local_day_rollup, source_multiformat_union.  Each incoming entry
+# re-verified green via tools/check_oracle.py before the swap.
+# Co-edit holds (VERDICT r10 ask #2): near_dup_rate_by_source is
+# rotation-ELIGIBLE (green r9+r10) but HELD one extra round because
+# its r10 rework moved query and oracle in lockstep onto the
+# persisted jaccard edge table; poisson_bootstrap_ci (r10 paired-md5
+# co-edit) keeps its slot by rule anyway (one verdict so far), so
+# both co-edited forms stay under the driver's eye in r11.
+# First-timer count this round: 24 never-sampled + cross_source_overlap
+# re-verdict on a new form.
 _PRIORITY: tuple[str, ...] = (
     "som_cluster_summary",
     "approx_distinct_users",
     "approx_percentile_prices",
     "poisson_bootstrap_ci",
-    "gains_lift_price_bands",
-    "info_gain_urgency_features",
-    "quota_largest_remainder",
-    "ewma_forecast_daily",
-    "forecast_interval_coverage",
-    "semdedup_grid_cosine",
     "pit_feature_join",
     "match_recognize_funnel",
-    "sql_group_by_all",
     "hybrid_rrf_fusion",
     "community_lpa_parts",
-    "bpe_apply_segment",
-    "dedup_span_explain",
     "near_dup_rate_by_source",
     "seed_expansion_ppr",
     "purged_time_split",
     "split_dedup_leakage",
-    "quality_char_bigram_logloss",
     "stream_quantile_merge",
-    "bpe_train_merges",
     "lsh_tuning_curve",
     "recs_item_item_cosine",
     "dsir_importance_weights",
-    "reachability_3hop_nations",
     "quality_naive_bayes",
-    "upsert_scd1_orders",
     "cdc_apply_changes",
-    "silhouette_simplified_labels",
-    "som_per_label_models",
-    "stream_interval_join_bucketed",
-    "dedup_incremental_components",
     "phrase_search_positional",
-    "stream_trending_topk",
-    "sketch_merge_rolling_distinct",
-    "split_train_val_test",
-    "media_video_frame_plan",
-    "histogram_event_values",
-    "bm25_rank_docs",
-    "source_python_datasource_writer",
-    "dedup_connected_components",
     "hard_negative_mining",
     "quantile_mergeable_sketch",
     "jackknife_ratio_ci",
     "normalize_dedup_gain",
     "triangle_count_copurchase",
+    # round-11 first-timers and re-verdicts
+    "rerank_cross_features",
+    "semdedup_som_cells",
+    "stream_dedup_stratified_sample",
+    "som_grouped_cv",
+    "sample_dedup_stratified",
+    "media_audio_chunk_plan",
+    "window_rank_family_events",
+    "cross_source_overlap",
+    "anomaly_zscore_daily",
+    "inverted_index_postings",
+    "attribution_multi_touch",
+    "recursive_cte_month_spine",
+    "pareto_frontier_lineitems",
+    "markov_event_transitions",
+    "agg_median_mode",
+    "agg_listagg_nations",
+    "feature_scale_lineitem",
+    "source_python_datasource",
+    "sql_script_price_band_report",
+    "funnel_cohort_daily",
+    "tokenizer_vocab_coverage",
+    "embedding_quantize_int8",
+    "cogroup_order_reconcile",
+    "tz_local_day_rollup",
+    "source_multiformat_union",
     # continuity keeper: a representative TPC-H row stays driver-visible
     "q1_pricing_summary",
 )
