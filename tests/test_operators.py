@@ -293,3 +293,17 @@ def test_two_phase_sessionize_property(spark, events):
     )
     got = sorted(tuple(r) for r in two_phase_sessionize(ev).collect())
     assert got == want
+
+
+def test_priority_window_integrity(registry):
+    """Every _PRIORITY name must resolve to a registered query: load_all
+    silently SKIPS unknown names when ordering, so a typo in the
+    rotation edit would shrink the driver's 50-slot correctness window
+    without any error.  Pin the contract here."""
+    from sparkml_som_spark.operators.registry import _PRIORITY
+
+    assert len(_PRIORITY) == 50
+    assert len(set(_PRIORITY)) == 50, "duplicate slot"
+    missing = [n for n in _PRIORITY if n not in registry]
+    assert not missing, f"_PRIORITY names not in registry: {missing}"
+    assert list(registry)[:50] == list(_PRIORITY)
