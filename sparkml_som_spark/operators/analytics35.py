@@ -132,17 +132,17 @@ def rerank_cross_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic cross-features score.  A production stack runs a
     cross-encoder here — O(pool) forward passes, never O(corpus) — and
     this entry keeps exactly that cost shape: the candidate ids are a
-    bounded collect (<= {_RRF_TOPK} rows by construction), the
+    bounded collect (<= _RRF_TOPK = 10 rows by construction), the
     documents/embeddings fetches are id-IN-pruned parquet point
     lookups (PushedFilters: In(doc_id, ...)), the feature pass is a
     single JVM-side projection over the pool, and the final rank is a
-    window over <= {_RRF_TOPK} rows.  Zero shuffles beyond the
+    window over the same bounded pool.  Zero shuffles beyond the
     retriever's own.
 
     Features (classic LTR family, fixed weights as the stand-in for a
     learned model): distinct-query-term coverage, ln(1+tf),
-    query-doc embedding cosine (the sem leg's vec_id {_RRF_QVEC}
-    query; docs without an embedding score 0 on this feature),
+    query-doc embedding cosine (the sem leg's _RRF_QVEC
+    query vector; docs without an embedding score 0 on this feature),
     -ln(first query-term position), -ln(doc length)."""
     from sparkml_som_spark.operators.analytics29 import hybrid_rrf_fusion
 
@@ -451,13 +451,13 @@ def _sadm_oracle() -> str:
 def stream_dedup_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming twin of `sample_dedup_stratified` — continuous
     admission-sampled curation.  Embedding micro-batches (epoch =
-    vec_id % {_SADM_EPOCHS}, one mtime-ordered file each, AvailableNow)
+    vec_id % _SADM_EPOCHS, one mtime-ordered file each, AvailableNow)
     pass a SemDeDup-style guard: a batch vector is rejected iff some
     PREVIOUSLY ADMITTED vector in its coarse grid cell has cosine >=
     tau (within-batch near-dups both admit — the guard screens against
     the accepted corpus, not the in-flight batch, exactly as
     `stream_minhash_dedup_guard` does).  Admitted rows append to the
-    persisted corpus; a per-cell reservoir of the {_SADM_K}
+    persisted corpus; a per-cell reservoir of the _SADM_K
     hash-smallest admitted ids is maintained INCREMENTALLY as
     bottom-k(old reservoir  union  new admissions).
 
