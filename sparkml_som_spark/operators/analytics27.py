@@ -37,7 +37,14 @@ _ND_PAIRS = _NGRAM_ORACLE.format(thr=0.8, max_df=_NGRAM_MAX_DF)
     SELECT LEAST(da.source, db.source)    AS source_a,
            GREATEST(da.source, db.source) AS source_b,
            CAST(COUNT(*) AS BIGINT)       AS n_pairs,
-           ROUND(AVG(jaccard), 4)         AS avg_jaccard
+           -- mean over EXACT integer ten-thousandths: float AVG of the
+           -- rounded jaccards can land a group mean exactly on a
+           -- .xxxx5 boundary where the engines' half-rounding of the
+           -- same double diverges (hit at sf0.1, r11); summing
+           -- integers is order-free and both engines then round the
+           -- identical quotient
+           ROUND(SUM(CAST(ROUND(jaccard * 10000, 0) AS BIGINT))
+                 / (COUNT(*) * 10000.0), 4) AS avg_jaccard
     FROM nd
     JOIN documents da ON da.doc_id = nd.a_id
     JOIN documents db ON db.doc_id = nd.b_id
@@ -85,12 +92,19 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         attributed.select(
             F.least("sa", "sb").alias("source_a"),
             F.greatest("sa", "sb").alias("source_b"),
-            F.round("jaccard_raw", 4).alias("jaccard"),
+            # exact integer ten-thousandths (== the oracle's per-pair
+            # ROUND(j,4) scaled): the group mean is then an
+            # order-independent integer sum over one float division,
+            # so both engines round the identical double — a float
+            # AVG diverged at a .xxxx5 half-rounding boundary at sf0.1
+            F.round(F.col("jaccard_raw") * 10000, 0).cast("long").alias("j4"),
         )
         .groupBy("source_a", "source_b")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            F.round(F.avg("jaccard"), 4).alias("avg_jaccard"),
+            F.round(
+                F.sum("j4") / (F.count(F.lit(1)) * 10000.0), 4
+            ).alias("avg_jaccard"),
         )
     )
     return materialize_small(out)
