@@ -213,8 +213,9 @@ def main() -> None:
                 ext[k] = {"first_sec": v, "best_sec": v}
             elif v < ext[k]["best_sec"]:
                 ext[k]["best_sec"] = v
-        with open(ext_path, "w") as f:
-            json.dump(ext, f, indent=1, sort_keys=True)
+        # NOTE: no write yet — the host-canary bests (which need the
+        # post-suite canary sample) ratchet into the same dict below,
+        # and the file is written ONCE with both updates
     try:
         sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
     except ValueError:

@@ -38,8 +38,10 @@ from sparkml_som_spark.sources import load_table
 _BOOT_R = 32
 # the halved-hash scheme below builds one h{p} column per PAIR of
 # replicates (h{r//2}), so _BOOT_R must stay even or replicate
-# _BOOT_R-1 would reference a column that was never built
-assert _BOOT_R % 2 == 0, "_BOOT_R must be even: each md5 digest feeds 2 replicates"
+# _BOOT_R-1 would reference a column that was never built (explicit
+# raise, not assert — survives python -O)
+if _BOOT_R % 2:
+    raise ValueError("_BOOT_R must be even: each md5 digest feeds 2 replicates")
 # integer thresholds floor(CDF_Poisson(1)(k) * 2^60): a 60-bit md5 value
 # compared against these yields the replicate weight with NO float in
 # the draw — identical in both engines by integer comparison

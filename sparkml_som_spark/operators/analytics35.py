@@ -573,9 +573,17 @@ def stream_dedup_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFram
 
     q = stream.writeStream.foreachBatch(admit).trigger(availableNow=True).start()
     try:
-        q.awaitTermination(300)
+        finished = q.awaitTermination(300)
     finally:
         q.stop()
+    if not finished:
+        # a timed-out stream has processed only SOME epochs; reading the
+        # partial state would return silently-wrong counts that surface
+        # as an unexplainable oracle mismatch — fail loudly instead
+        raise TimeoutError(
+            "stream_dedup_stratified_sample: availableNow stream did not "
+            "drain within 300s; partial state discarded"
+        )
 
     adm = spark.read.parquet(admitted_dir)
     res = spark.read.parquet(reservoir_dir)

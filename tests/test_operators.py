@@ -315,7 +315,11 @@ def test_every_registry_entry_is_documented(registry):
     invisible coverage and a doc-drift bug.  Keep the map total."""
     import os
 
+    import re
+
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     cov = open(os.path.join(repo, "COVERAGE.md")).read()
-    missing = [n for n in registry if n not in cov]
+    # word-boundary match, not substring: `source_python_datasource`
+    # must not be satisfied by `source_python_datasource_writer`'s row
+    missing = [n for n in registry if not re.search(rf"\b{re.escape(n)}\b", cov)]
     assert not missing, f"registry entries absent from COVERAGE.md: {missing}"

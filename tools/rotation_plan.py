@@ -28,43 +28,56 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def greens_by_round() -> dict[int, set[str]]:
-    out: dict[int, set[str]] = {}
+def verdicts_by_round() -> tuple[dict[int, set[str]], dict[int, set[str]]]:
+    """(greens, sampled) per round: greens drive rotation ELIGIBILITY;
+    sampled (green OR red) drives the never-sampled backlog — a
+    sampled-but-RED entry must never be classed as awaiting its first
+    verdict."""
+    greens: dict[int, set[str]] = {}
+    sampled: dict[int, set[str]] = {}
     for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
         d = json.load(open(f))
-        out[rnd] = {
+        sampled[rnd] = set(d)
+        greens[rnd] = {
             k
             for k, v in d.items()
             if v.get("hash_match") and v.get("rows_match") and v.get("schema_match")
         }
-    return out
+    return greens, sampled
 
 
 def main() -> None:
     from sparkml_som_spark.operators.registry import _PRIORITY, load_all
 
     reg = load_all()
-    greens = greens_by_round()
+    greens, sampled = verdicts_by_round()
     if not greens:
         print("no CORRECTNESS_r*.json files found")
         return
     rounds = sorted(greens)
     last_two = rounds[-2:]
-    sampled_ever = set().union(*greens.values())
+    sampled_ever = set().union(*sampled.values())
+    red_latest = sampled[rounds[-1]] - greens[rounds[-1]]
+    if red_latest:
+        print(f"!! RED in r{rounds[-1]} (fix before any rotation): {sorted(red_latest)}")
 
-    eligible = [
-        n for n in _PRIORITY if all(n in greens[r] for r in last_two)
-    ]
+    # eligibility needs green in BOTH of the last two rounds; with only
+    # one round on record nothing is eligible yet
+    eligible = (
+        [n for n in _PRIORITY if all(n in greens[r] for r in last_two)]
+        if len(last_two) == 2
+        else []
+    )
     never = [n for n in reg if n not in sampled_ever]
     in_window_never = [n for n in _PRIORITY if n not in sampled_ever]
 
-    print(f"rounds on record: {rounds}  (eligibility window: r{last_two[0]}+r{last_two[1]})")
+    window = "+".join(f"r{r}" for r in last_two)
+    print(f"rounds on record: {rounds}  (eligibility window: {window})")
     print(f"registry entries: {len(reg)}; driver-sampled ever: "
           f"{len(sampled_ever & set(reg))}; never sampled: {len(never)}")
     print()
-    print(f"rotation-ELIGIBLE slots (green both r{last_two[0]} and r{last_two[1]}): "
-          f"{len(eligible)}")
+    print(f"rotation-ELIGIBLE slots (green both of {window}): {len(eligible)}")
     for n in eligible:
         print(f"  out? {n}")
     print()
