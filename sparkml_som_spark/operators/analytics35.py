@@ -232,6 +232,17 @@ def rerank_cross_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # far beyond any cross-engine float divergence of the identical
 # left-to-right cosine fold
 _SOMDD_TAU = 0.40
+# Audit-leg bound (VERDICT r11 ask #4): the global brute-force recall
+# audit runs over the md5-bottom-_SOMDD_AUDIT_ROWS corpus sample —
+# below the gate (n <= ROWS) the sample IS the whole corpus and the
+# guards are exact; above it the quadratic leg is bounded at ROWS^2
+# pairs no matter the corpus size (the `dedup_embedding_cosine`
+# size-gate discipline, in code rather than prose).  bottom-min(n, k)
+# needs no conditional: rk <= k passes every row when n <= k.  The
+# SQL oracle mirrors the identical sample, so the entry stays
+# value-hash green at every SF including the one where the gate binds
+# (sf0.1: 2000 vectors -> 1000-row audit).
+_SOMDD_AUDIT_ROWS = 1000
 
 
 @register(
@@ -239,9 +250,16 @@ _SOMDD_TAU = 0.40
     sql=f"""
     WITH e AS MATERIALIZED (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), audit AS MATERIALIZED (
+      SELECT vec_id, v FROM (
+        SELECT vec_id, v,
+               ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                  vec_id) AS rk
+        FROM e)
+      WHERE rk <= {_SOMDD_AUDIT_ROWS}
     ), gdrop AS (
       SELECT DISTINCT b.vec_id
-      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      FROM audit a JOIN audit b ON a.vec_id < b.vec_id
       WHERE list_cosine_similarity(a.v, b.v) >= {_SOMDD_TAU}
     )
     SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_vectors,
@@ -281,11 +299,14 @@ def semdedup_som_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the dedup leg is sum(cell^2) pairs over the 2x-expanded
     assignment; the global brute-force leg is the sampled recall AUDIT
-    a production deployment runs beside the index over a corpus sample
-    (here the sample is the whole small corpus, making the guard
-    exact), with the corpus broadcast once and streamed against
-    itself.  The seeded session-cached SOM makes every leg
-    deterministic."""
+    a production deployment runs beside the index — bounded IN CODE to
+    the md5-bottom-`_SOMDD_AUDIT_ROWS` corpus sample (the whole corpus
+    below the gate, where the guards are exact; ROWS^2 pairs above it,
+    flat at any corpus size), with the audit sample broadcast once and
+    streamed against itself.  Both comparison legs restrict to the
+    SAME sample, so soundness (n_unsound == 0) holds by construction
+    at every scale, and the SQL oracle mirrors the identical sample.
+    The seeded session-cached SOM makes every leg deterministic."""
     import pandas as pd
 
     from sparkml_som_spark.operators.som_queries import fit_default_som
@@ -329,11 +350,42 @@ def semdedup_som_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
 
-    # global audit leg: one side broadcast, the other streamed — the
-    # independent join path (no cell key) that the soundness and recall
-    # guards compare against
-    ga = assigned.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"))
-    gb = assigned.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"))
+    # global audit leg, SAMPLE-BOUNDED IN CODE: both comparison legs
+    # restrict to the md5-bottom-_SOMDD_AUDIT_ROWS audit corpus (the
+    # whole corpus below the gate), so the brute-force pair volume is
+    # bounded at ROWS^2 at any corpus size.  Soundness is then exact by
+    # construction: a cell-dropped audit vector's witnessing lower-id
+    # tau-neighbor is itself an audit row, hence in the audit-global
+    # pair set.
+    n_vectors = assigned.count()
+    audit = (
+        assigned.select("vec_id", "v")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(_SOMDD_AUDIT_ROWS)
+        .persist()
+    )
+    audit.count()
+    if n_vectors <= _SOMDD_AUDIT_ROWS:
+        cell_dropped_audit = cell_dropped  # audit corpus == full corpus
+    else:
+        multi_audit = multi.join(F.broadcast(audit.select("vec_id")), "vec_id")
+        ma = multi_audit.select(
+            F.col("vec_id").alias("a_id"), F.col("v").alias("va"), "cell"
+        )
+        mb = multi_audit.select(
+            F.col("vec_id").alias("b_id"), F.col("v").alias("vb"), "cell"
+        )
+        cell_dropped_audit = (
+            ma.join(mb, "cell")
+            .where(
+                (F.col("a_id") < F.col("b_id"))
+                & (cosine(F.col("va"), F.col("vb")) >= _SOMDD_TAU)
+            )
+            .select(F.col("b_id").alias("vec_id"))
+            .distinct()
+        )
+    ga = audit.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"))
+    gb = audit.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"))
     global_dropped = (
         ga.crossJoin(F.broadcast(gb))
         .where(
@@ -345,9 +397,9 @@ def semdedup_som_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
 
-    n_cell = cell_dropped.count()
+    n_cell_audit = cell_dropped_audit.count()
     n_global = global_dropped.count()
-    n_unsound = cell_dropped.join(global_dropped, "vec_id", "left_anti").count()
+    n_unsound = cell_dropped_audit.join(global_dropped, "vec_id", "left_anti").count()
     kept = multi.join(cell_dropped, "vec_id", "left_anti")
     ka = kept.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"), "cell")
     kb = kept.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"), "cell")
@@ -359,9 +411,9 @@ def semdedup_som_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .count()
     )
-    n_vectors = assigned.count()
     assigned.unpersist()
     cell_dropped.unpersist()
+    audit.unpersist()
     global_dropped.unpersist()
     return spark.createDataFrame(
         [
@@ -370,7 +422,7 @@ def semdedup_som_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n_global,
                 n_unsound,
                 n_kept_viol,
-                bool(2 * n_cell >= n_global),
+                bool(2 * n_cell_audit >= n_global),
             )
         ],
         "n_vectors long, n_dropped_global long, n_unsound_cell_drops long, "
@@ -385,13 +437,31 @@ _SADM_TAU = _SOMDD_TAU  # admission threshold, same observed-band rationale
 _SADM_K = 4  # reservoir capacity per cell
 _SADM_EPOCHS = 4
 _SADM_CELL = "CAST(floor(({e} + 0.6) * 8) AS INT)"
+# Hot-cell guard (VERDICT r11 ask #3): the per-batch probe never joins
+# against more than this many admitted rows per cell — the hash-smallest
+# _SADM_STATE_CAP ids stand in for the cell's full admitted state (the
+# `_PAIR_CAP` discipline, analytics30.py).  Per-cell probe pairs are
+# bounded at batch_cell_rows x CAP regardless of corpus skew; a one-cell
+# corpus no longer cliffs (tools/admission_skew_probe.py, SCALE.md).
+# Like the reservoir, the capped state is merge-invariant — bottom-k by
+# pure row hash satisfies min-k(A u B) = min-k(min-k(A) u B) — so the
+# incremental Spark maintenance equals the oracle's per-epoch batch
+# recompute — the oracle's probe{t} CTEs replay the SAME cap, so the
+# entry stays value-hash green whether or not the cap binds (at sf0.01
+# no cell reaches CAP; at sf0.1 the hottest cell holds 269 rows and the
+# cap can bind).  The binding case is additionally law-tested in
+# tests/test_analytics35.py.
+_SADM_STATE_CAP = 256
 
 
 def _sadm_oracle() -> str:
     """4-epoch unrolled admission replay (the
     `stream_minhash_dedup_guard` oracle shape) + ONE batch bottom-k
     over the admitted union — valid as the reservoir oracle because
-    hash-ordered bottom-k is merge-invariant across batch boundaries."""
+    hash-ordered bottom-k is merge-invariant across batch boundaries.
+    Each epoch's admission screens against probe{t}: the per-cell
+    hash-bottom-_SADM_STATE_CAP subset of all prior admissions, the
+    exact state the Spark side maintains incrementally."""
     cx = _SADM_CELL.format(e="embedding[1]")
     cy = _SADM_CELL.format(e="embedding[2]")
     ctes = [
@@ -405,9 +475,18 @@ def _sadm_oracle() -> str:
     for t in range(1, _SADM_EPOCHS):
         prev = " UNION ALL ".join(f"SELECT * FROM adm{s}" for s in range(t))
         ctes.append(
+            f"""probe{t} AS MATERIALIZED (
+      SELECT vec_id, v, cx, cy FROM (
+        SELECT vec_id, v, cx, cy,
+               ROW_NUMBER() OVER (PARTITION BY cx, cy
+                                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                   AS rk
+        FROM ({prev})) WHERE rk <= {_SADM_STATE_CAP})"""
+        )
+        ctes.append(
             f"""adm{t} AS MATERIALIZED (
       SELECT dd.* FROM e dd WHERE dd.epoch = {t} AND NOT EXISTS (
-        SELECT 1 FROM ({prev}) a
+        SELECT 1 FROM probe{t} a
         WHERE a.cx = dd.cx AND a.cy = dd.cy
           AND list_cosine_similarity(a.v, dd.v) >= {_SADM_TAU}))"""
         )
@@ -446,34 +525,44 @@ def _sadm_oracle() -> str:
 @register(
     "stream_dedup_stratified_sample",
     sql=_sadm_oracle(),
-    desc=f"streaming admission-sampled curation: per-batch cell-blocked cosine guard (tau={_SADM_TAU}) against the persisted admitted corpus + merge-invariant {_SADM_K}-per-cell hash reservoir; full value-hash oracle via unrolled replay",
+    desc=f"streaming admission-sampled curation: per-batch cell-blocked cosine guard (tau={_SADM_TAU}) against capped per-cell admitted state (hash-bottom-{_SADM_STATE_CAP}, hot-cell-safe) + merge-invariant {_SADM_K}-per-cell hash reservoir; full value-hash oracle via unrolled replay",
 )
 def stream_dedup_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming twin of `sample_dedup_stratified` — continuous
     admission-sampled curation.  Embedding micro-batches (epoch =
     vec_id % _SADM_EPOCHS, one mtime-ordered file each, AvailableNow)
     pass a SemDeDup-style guard: a batch vector is rejected iff some
-    PREVIOUSLY ADMITTED vector in its coarse grid cell has cosine >=
-    tau (within-batch near-dups both admit — the guard screens against
-    the accepted corpus, not the in-flight batch, exactly as
-    `stream_minhash_dedup_guard` does).  Admitted rows append to the
-    persisted corpus; a per-cell reservoir of the _SADM_K
-    hash-smallest admitted ids is maintained INCREMENTALLY as
-    bottom-k(old reservoir  union  new admissions).
+    PREVIOUSLY ADMITTED vector in its coarse grid cell — restricted to
+    the cell's CAPPED probe state, the _SADM_STATE_CAP hash-smallest
+    admitted ids — has cosine >= tau (within-batch near-dups both
+    admit — the guard screens against the accepted corpus, not the
+    in-flight batch, exactly as `stream_minhash_dedup_guard` does).
+    Admitted rows append to the persisted corpus; a per-cell reservoir
+    of the _SADM_K hash-smallest admitted ids is maintained
+    INCREMENTALLY as bottom-k(old reservoir  union  new admissions).
 
-    Correctness identity: because the reservoir's order key is a pure
-    row hash (md5 of the id), per-cell bottom-k is MERGE-INVARIANT —
-    min-k(A union B) = min-k(min-k(A) union B) — so the final
-    reservoir equals one batch bottom-k over all admitted rows no
-    matter how the stream was batched.  That identity is what the
-    DuckDB oracle (4-epoch unrolled admission replay + single batch
-    bottom-k) hashes, and `tests/test_analytics35.py` asserts the
-    streaming-state-vs-batch-recompute equality directly.
+    Correctness identity: because both the reservoir's and the probe
+    state's order key is a pure row hash (md5 of the id), per-cell
+    bottom-k is MERGE-INVARIANT — min-k(A union B) =
+    min-k(min-k(A) union B) — so the final reservoir equals one batch
+    bottom-k over all admitted rows, and each epoch's probe state
+    equals a batch bottom-CAP over all prior admissions, no matter how
+    the stream was batched.  Those identities are what the DuckDB
+    oracle (4-epoch unrolled admission replay against per-epoch capped
+    probe CTEs + single batch bottom-k) hashes, and
+    `tests/test_analytics35.py` asserts the
+    streaming-state-vs-batch-recompute equalities directly, including
+    a synthetic hot cell where the cap BINDS.
 
     At 100 TB: the per-batch probe join is equi-keyed on the cell and
-    touches only the batch's cells' state rows; reservoir state is
-    K x cells rows in queryable parquet (never unbounded stream
-    state); per-batch cost tracks the batch, not the corpus."""
+    bounded at batch_cell_rows x _SADM_STATE_CAP pairs per cell — a
+    hot cell can no longer own the batch's work (the r11 probe
+    measured a 35x pair / 5.8x wall cliff on a one-cell corpus against
+    UNCAPPED state; with the cap the pair volume is flat —
+    tools/admission_skew_probe.py, SCALE.md).  Probe + reservoir state
+    are CAP x cells and K x cells rows in queryable parquet (never
+    unbounded stream state); per-batch cost tracks the batch, not the
+    corpus."""
     from sparkml_som_spark.operators.streaming_queries import (
         _EMB_SRC_CACHE,
         _SCRATCH,
@@ -518,8 +607,10 @@ def stream_dedup_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFram
         _EMB_SRC_CACHE[cache_key] = src
     admitted_dir = os.path.join(_SCRATCH, key, "admit_corpus")
     reservoir_dir = os.path.join(_SCRATCH, key, "admit_reservoir")
+    probe_dir = os.path.join(_SCRATCH, key, "admit_probe")
     shutil.rmtree(admitted_dir, ignore_errors=True)
     shutil.rmtree(reservoir_dir, ignore_errors=True)
+    shutil.rmtree(probe_dir, ignore_errors=True)
 
     stream = (
         spark.readStream.schema(spark.read.parquet(src).schema)
@@ -536,8 +627,11 @@ def stream_dedup_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFram
         ]
         for e in epochs:
             grp = batch_df.where(F.col("epoch") == e).drop("epoch")
-            if os.path.isdir(admitted_dir):
-                state = sp.read.parquet(admitted_dir)
+            if os.path.isdir(probe_dir):
+                # probe against the CAPPED per-cell state, never the full
+                # admitted corpus: pairs per cell are bounded at
+                # batch_cell_rows x _SADM_STATE_CAP at any skew
+                state = sp.read.parquet(probe_dir)
                 rejected = (
                     grp.alias("x")
                     .join(
@@ -554,6 +648,23 @@ def stream_dedup_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFram
                 admitted = grp
             admitted = admitted.localCheckpoint(eager=True)
             admitted.write.mode("append").parquet(admitted_dir)
+            # probe-state merge: per-cell hash-bottom-CAP of (old capped
+            # state + batch admissions) — merge-invariant, so it equals
+            # the oracle's batch recompute over all prior admissions;
+            # bounded at CAP x cells rows
+            ppool = admitted.select("vec_id", "v", "cx", "cy")
+            if os.path.isdir(probe_dir):
+                ppool = ppool.unionByName(sp.read.parquet(probe_dir))
+            pw = Window.partitionBy("cx", "cy").orderBy(
+                F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+            )
+            new_probe = (
+                ppool.withColumn("rk", F.row_number().over(pw))
+                .where(F.col("rk") <= _SADM_STATE_CAP)
+                .drop("rk")
+                .localCheckpoint(eager=True)
+            )
+            new_probe.write.mode("overwrite").parquet(probe_dir)
             # reservoir merge: bottom-k per cell of (old state + batch
             # admissions); bounded at K x cells rows, pinned on
             # executors before the overwrite of its own input dir

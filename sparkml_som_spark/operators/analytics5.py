@@ -735,10 +735,10 @@ def constraint_check_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
     )
     SELECT l_orderkey, l_linenumber,
-           ROUND((l_extendedprice - mu_p) / sd_p, 4)        AS price_z,
-           ROUND((l_extendedprice - mn_p) / (mx_p - mn_p), 4) AS price_minmax,
-           ROUND((l_quantity - mu_q) / sd_q, 4)             AS qty_z,
-           ROUND((l_quantity - mn_q) / (mx_q - mn_q), 4)    AS qty_minmax
+           ROUND((l_extendedprice - mu_p) / sd_p, 4) + 0.0        AS price_z,
+           ROUND((l_extendedprice - mn_p) / (mx_p - mn_p), 4) + 0.0 AS price_minmax,
+           ROUND((l_quantity - mu_q) / sd_q, 4) + 0.0             AS qty_z,
+           ROUND((l_quantity - mn_q) / (mx_q - mn_q), 4) + 0.0    AS qty_minmax
     FROM lineitem, s
     """,
     desc="feature scaling: per-row z-score + min-max normalization from one-row broadcast statistics",
@@ -755,7 +755,14 @@ def feature_scale_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     quarantined exactly as `interpolate_linear_revenue` does for its
     anchors); min/max are order-insensitive and stay raw.  Every
     per-row value is then the same IEEE expression over agreed
-    constants in both engines before its final round."""
+    constants in both engines before its final round.
+
+    Signed zero: each per-row ROUND is followed by ``+ 0.0`` on BOTH
+    engines.  IEEE-754 gives ``-0.0 + 0.0 = +0.0`` and ``x + 0.0 = x``
+    otherwise, so the emitted bit image is engine-independent — DuckDB
+    produced one ``-0.0`` at sf0.01 where Spark produced ``+0.0``
+    (Python ``==`` hides it; the driver's hash does not — r11 driver
+    mismatch)."""
     li = load_table(spark, sf_dir, "lineitem")
     s = li.agg(
         F.round(F.avg("l_extendedprice"), 4).alias("mu_p"),
@@ -770,19 +777,27 @@ def feature_scale_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.crossJoin(F.broadcast(s)).select(
         "l_orderkey",
         "l_linenumber",
-        F.round((F.col("l_extendedprice") - F.col("mu_p")) / F.col("sd_p"), 4).alias(
-            "price_z"
-        ),
-        F.round(
-            (F.col("l_extendedprice") - F.col("mn_p"))
-            / (F.col("mx_p") - F.col("mn_p")),
-            4,
+        (
+            F.round((F.col("l_extendedprice") - F.col("mu_p")) / F.col("sd_p"), 4)
+            + F.lit(0.0)
+        ).alias("price_z"),
+        (
+            F.round(
+                (F.col("l_extendedprice") - F.col("mn_p"))
+                / (F.col("mx_p") - F.col("mn_p")),
+                4,
+            )
+            + F.lit(0.0)
         ).alias("price_minmax"),
-        F.round((F.col("l_quantity") - F.col("mu_q")) / F.col("sd_q"), 4).alias(
-            "qty_z"
-        ),
-        F.round(
-            (F.col("l_quantity") - F.col("mn_q")) / (F.col("mx_q") - F.col("mn_q")),
-            4,
+        (
+            F.round((F.col("l_quantity") - F.col("mu_q")) / F.col("sd_q"), 4)
+            + F.lit(0.0)
+        ).alias("qty_z"),
+        (
+            F.round(
+                (F.col("l_quantity") - F.col("mn_q")) / (F.col("mx_q") - F.col("mn_q")),
+                4,
+            )
+            + F.lit(0.0)
         ).alias("qty_minmax"),
     )

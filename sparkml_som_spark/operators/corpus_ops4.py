@@ -395,7 +395,9 @@ _IDX_POSTINGS_K = 10
     )
     SELECT term,
            CAST(COUNT(*) AS BIGINT) AS df,
-           list_slice(list_sort(list(doc_id)), 1, {_IDX_POSTINGS_K}) AS postings
+           array_to_string(
+               list_slice(list_sort(list(doc_id)), 1, {_IDX_POSTINGS_K}), ','
+           ) AS postings
     FROM td
     GROUP BY term
     HAVING COUNT(*) >= {_IDX_MIN_DF}
@@ -410,7 +412,14 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     the K smallest doc_ids BEFORE collect_list, so no buffer ever holds
     more than K entries, while the document frequency comes from the
     full co-partitioned count joined back on the same key (same-key
-    shuffles — AQE plans them without an extra exchange shape)."""
+    shuffles — AQE plans them without an extra exchange shape).
+
+    The postings column is emitted as a comma-joined STRING, not an
+    array: the driver's pandas canonicalizer sorts result columns and
+    cannot hash list cells (r11 driver err: ``TypeError: unhashable
+    type: 'list'``).  Same information, one deterministic scalar —
+    and the strict local gate now rejects list-typed outputs at gate
+    time so the class cannot recur (tools/check_oracle.py)."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
     td = (
         docs.select("doc_id", F.explode(word_tokens(F.col("text"))).alias("term"))
@@ -424,7 +433,13 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk = F.row_number().over(Window.partitionBy("term").orderBy("doc_id"))
     capped = td.withColumn("rk", rk).where(F.col("rk") <= _IDX_POSTINGS_K)
     postings = capped.groupBy("term").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("postings")
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings")
     )
     return df_counts.join(postings, "term").select("term", "df", "postings")
 

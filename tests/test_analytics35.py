@@ -116,6 +116,13 @@ def test_semdedup_som_cells_laws(spark, sf_dir, reg):
     ids = np.array([r["vec_id"] for r in rows])
     X = np.stack([np.array(r["v"]) for r in rows])
     assert row["n_vectors"] == len(ids)
+    # at the test SF the corpus fits the audit gate (n <= AUDIT_ROWS),
+    # so the audit sample IS the full corpus and the replay below is
+    # exact; the binding case is covered by
+    # test_semdedup_audit_sample_binding
+    from sparkml_som_spark.operators.analytics35 import _SOMDD_AUDIT_ROWS
+
+    assert len(ids) <= _SOMDD_AUDIT_ROWS
 
     nv = X / np.linalg.norm(X, axis=1, keepdims=True)
     cos = nv @ nv.T
@@ -139,6 +146,55 @@ def test_semdedup_som_cells_laws(spark, sf_dir, reg):
     assert not viol.any()
 
 
+def test_semdedup_audit_sample_binding(spark, sf_dir, reg, monkeypatch):
+    """Force the audit gate to BIND (AUDIT_ROWS=100 over a 500-vector
+    corpus) and replay the whole audit leg in NumPy: the audit corpus
+    must be the md5-bottom-100 sample, n_dropped_global the drops
+    within that sample, soundness exact by construction, and the kept
+    theorem still full-corpus."""
+    import sparkml_som_spark.operators.analytics35 as a35
+    from sparkml_som_spark.operators.som_queries import fit_default_som
+    from sparkml_som_spark.som import kernel as K
+
+    monkeypatch.setattr(a35, "_SOMDD_AUDIT_ROWS", 100)
+    row = a35.semdedup_som_cells(spark, sf_dir).collect()[0]
+    assert row["n_unsound_cell_drops"] == 0
+    assert row["n_kept_cell_pairs_over_tau"] == 0
+
+    model, emb = fit_default_som(spark, sf_dir)
+    rows = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).collect()
+    all_ids = [int(r["vec_id"]) for r in rows]
+    assert row["n_vectors"] == len(all_ids) > 100  # the gate really binds
+    audit_ids = set(sorted(all_ids, key=lambda v: (_md5key(v), v))[:100])
+
+    id_arr = np.array([r["vec_id"] for r in rows])
+    X = np.stack([np.array(r["v"]) for r in rows])
+    nv = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cos = nv @ nv.T
+    in_audit = np.isin(id_arr, sorted(audit_ids))
+    lower = id_arr[:, None] < id_arr[None, :]
+    pair_aud = in_audit[:, None] & in_audit[None, :]
+    global_aud = set(
+        id_arr[np.any((cos >= a35._SOMDD_TAU) & lower & pair_aud, axis=0)]
+    )
+    assert row["n_dropped_global"] == len(global_aud)
+
+    b1, b2 = K.find_bmu_top2(X, model.prototypes)
+    share = (
+        (b1[:, None] == b1[None, :])
+        | (b1[:, None] == b2[None, :])
+        | (b2[:, None] == b1[None, :])
+        | (b2[:, None] == b2[None, :])
+    )
+    cell_aud = set(
+        id_arr[np.any((cos >= a35._SOMDD_TAU) & lower & share & pair_aud, axis=0)]
+    )
+    assert cell_aud <= global_aud  # soundness within the audit sample
+    assert row["cell_recall_ge_half"] is (2 * len(cell_aud) >= len(global_aud))
+
+
 def _md5key(vec_id: int) -> str:
     return hashlib.md5(str(vec_id).encode()).hexdigest()
 
@@ -157,20 +213,28 @@ def test_stream_sampler_state_equals_batch_recompute(spark, sf_dir, reg):
     )
     from sparkml_som_spark.operators.streaming_queries import _SCRATCH
 
+    from sparkml_som_spark.operators.analytics35 import _SADM_STATE_CAP
+
     out = {r["label"]: r for r in reg["stream_dedup_stratified_sample"].fn(spark, sf_dir).collect()}
     key = os.path.basename(os.path.normpath(sf_dir))
     adm = spark.read.parquet(os.path.join(_SCRATCH, key, "admit_corpus")).collect()
     res = spark.read.parquet(os.path.join(_SCRATCH, key, "admit_reservoir")).collect()
+    probe = spark.read.parquet(os.path.join(_SCRATCH, key, "admit_probe")).collect()
 
-    # (1) reservoir == per-cell bottom-K of the admitted corpus
+    # (1) reservoir == per-cell bottom-K of the admitted corpus, and
+    # the capped probe state == per-cell bottom-CAP of the same corpus
+    # (both rest on the same merge-invariance of hash bottom-k)
     by_cell: dict = {}
     for r in adm:
         by_cell.setdefault((r["cx"], r["cy"]), []).append(r["vec_id"])
     want_res = set()
+    want_probe = set()
     for members in by_cell.values():
         members.sort(key=lambda v: (_md5key(v), v))
         want_res.update(members[:_SADM_K])
+        want_probe.update(members[:_SADM_STATE_CAP])
     assert {r["vec_id"] for r in res} == want_res
+    assert {r["vec_id"] for r in probe} == want_probe
 
     # (2) admission set == pure-NumPy epoch replay
     rows = load_table(spark, sf_dir, "embeddings").select(
@@ -187,11 +251,21 @@ def test_stream_sampler_state_equals_batch_recompute(spark, sf_dir, reg):
     admitted: list = []
     for epoch in range(_SADM_EPOCHS):
         batch = sorted(int(i) for i in ids if i % _SADM_EPOCHS == epoch)
+        # the probe screens against the CAPPED per-cell state: the
+        # hash-bottom-CAP subset of all prior admissions (merge-
+        # invariant, so the batch recompute here equals the operator's
+        # incremental maintenance)
+        probe_state: dict = {}
+        for a in admitted:
+            probe_state.setdefault(cells[a], []).append(a)
+        for members in probe_state.values():
+            members.sort(key=lambda v: (_md5key(v), v))
+            del members[_SADM_STATE_CAP:]
         accepted = []
         for v in batch:
             hit = any(
-                cells[a] == cells[v] and float(vec[a] @ vec[v]) >= _SADM_TAU
-                for a in admitted
+                float(vec[a] @ vec[v]) >= _SADM_TAU
+                for a in probe_state.get(cells[v], [])
             )
             if not hit:
                 accepted.append(v)
@@ -224,3 +298,49 @@ def test_hash_bottom_k_merge_invariance():
         for start in range(0, len(universe), split):
             state = bottom_k(state + universe[start : start + split])
         assert state == want
+
+
+def test_capped_probe_admission_batching_invariance():
+    """The oracle identity for the CAPPED probe state (r12 hot-cell
+    guard): per epoch, screening a batch against the incrementally-
+    maintained bottom-CAP(old probe u prior admissions) — the operator
+    — equals screening against a fresh bottom-CAP over ALL prior
+    admissions — the SQL replay's probe{t} CTE — for every batching.
+    The synthetic universe lives in ONE cell and the cap BINDS: the
+    capped guard provably admits rows the uncapped guard rejects."""
+    cap = 3
+
+    def sim(a, v):  # deterministic stand-in for cos >= tau
+        return a % 5 == v % 5
+
+    def bottom(items, k):
+        return sorted(items, key=lambda v: (_md5key(v), v))[:k]
+
+    def run(batches, incremental, capped=True):
+        admitted: list = []
+        probe: list = []
+        for batch in batches:
+            if not capped:
+                state = list(admitted)
+            elif incremental:
+                state = list(probe)
+            else:
+                state = bottom(admitted, cap)
+            accepted = [v for v in batch if not any(sim(a, v) for a in state)]
+            admitted.extend(accepted)
+            probe = bottom(probe + accepted, cap)
+        return admitted
+
+    universe = list(range(40))
+    for split in (5, 10, 13, 40):
+        batches = [universe[i : i + split] for i in range(0, len(universe), split)]
+        inc = run(batches, incremental=True)
+        replay = run(batches, incremental=False)
+        assert inc == replay  # operator == oracle at any batching
+    # the cap binds: with 10-row epochs the uncapped guard freezes the
+    # corpus after epoch 0 (every residue already admitted twice) while
+    # the capped probe keeps admitting uncovered residues
+    batches = [universe[i : i + 10] for i in range(0, 40, 10)]
+    capped_adm = run(batches, incremental=True)
+    uncapped_adm = run(batches, incremental=True, capped=False)
+    assert set(uncapped_adm) < set(capped_adm)

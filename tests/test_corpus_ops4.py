@@ -152,10 +152,14 @@ def test_inverted_index_caps_and_sorts_postings(spark):
     assert rows, "expected at least one term over the df threshold"
     for r in rows:
         assert r["df"] >= _IDX_MIN_DF
-        assert 1 <= len(r["postings"]) <= _IDX_POSTINGS_K
-        assert r["postings"] == sorted(r["postings"])
+        # postings emit as a comma-joined string (the driver's pandas
+        # canon cannot hash list cells — r11 driver err)
+        assert isinstance(r["postings"], str) and r["postings"]
+        ids = [int(x) for x in r["postings"].split(",")]
+        assert 1 <= len(ids) <= _IDX_POSTINGS_K
+        assert ids == sorted(ids)
         # the cap keeps the SMALLEST doc_ids: postings are a prefix of
         # the full sorted posting list, so max(postings) < any doc_id
         # beyond the cap -- spot-check via df when the list is full
         if r["df"] > _IDX_POSTINGS_K:
-            assert len(r["postings"]) == _IDX_POSTINGS_K
+            assert len(ids) == _IDX_POSTINGS_K

@@ -11,21 +11,24 @@ work.
 
 This probe builds two synthetic corpora of identical size — UNIFORM
 (vectors spread over ~64 cells) and HOT (all vectors in one cell) —
-runs the same 4-epoch admission replay the operator uses (batch
-against persisted state, cell-keyed join, cosine reject), and reports
+and runs the 4-epoch admission replay in two probe-state modes:
+UNCAPPED (the pre-r12 registered path: batch joins the full admitted
+state) and CAPPED (the r12 registered path: batch joins the per-cell
+hash-bottom-`_SADM_STATE_CAP` probe state, analytics35.py), reporting
 wall time and pair volume for each.  The vectors are low-similarity
 (random directions) so rejections stay rare and the measured cost is
 the JOIN's, not the admission outcome's.
 
-Interpretation for 100 TB: the uniform/hot wall ratio quantifies the
-single-key cliff.  The mitigation ladder (documented in SCALE.md) is
-the same as the r8 interval-join probe's: (1) the quantizer itself —
-a trained quantizer (ann_ivf_som's cells, semdedup_som_cells' top-2
+Interpretation for 100 TB: the uncapped hot/uniform ratio quantifies
+the single-key cliff the r11 round measured (35x pairs / 5.8x wall);
+the capped rows show the registered mitigation closes it — per-cell
+probe pairs are bounded at batch_cell_rows x CAP at any skew.  The
+rest of the mitigation ladder (documented in SCALE.md) remains
+available when guard recall matters more than a bounded probe: (1) a
+trained quantizer (ann_ivf_som's cells, semdedup_som_cells' top-2
 assignment) equalizes occupancy where a fixed grid cannot; (2) salt
-the STATE side within the hot cell (state rows are
-admission-order-stable, so per-salt shards replicate the batch row,
-not the state); (3) cap per-cell admitted state with the same
-_PAIR_CAP-style guard the pair builders use.
+the STATE side within the hot cell (spreads tasks; pair volume
+unchanged).
 
 Usage: PYTHONPATH=/root/repo python tools/admission_skew_probe.py
 """
@@ -69,25 +72,30 @@ def build(spark, hot: bool):
     return df
 
 
-def run_admission(spark, df, tag: str) -> None:
+def run_admission(spark, df, tag: str, capped: bool) -> None:
     import shutil
 
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from sparkml_som_spark.functions import cosine
+    from sparkml_som_spark.operators.analytics35 import _SADM_STATE_CAP
 
-    scratch = os.path.join(
+    base = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".scratch",
         f"admission_probe_{tag}",
     )
-    shutil.rmtree(scratch, ignore_errors=True)
+    scratch = os.path.join(base, "admitted")
+    probe_dir = os.path.join(base, "probe")
+    shutil.rmtree(base, ignore_errors=True)
     t0 = time.time()
     pairs = 0
     for e in range(EPOCHS):
         batch = df.where(F.col("epoch") == e).drop("epoch")
-        if os.path.isdir(scratch):
-            state = spark.read.parquet(scratch)
+        state_dir = probe_dir if capped else scratch
+        if os.path.isdir(state_dir):
+            state = spark.read.parquet(state_dir)
             joined = batch.alias("x").join(
                 state.alias("s"),
                 (F.col("x.cx") == F.col("s.cx")) & (F.col("x.cy") == F.col("s.cy")),
@@ -101,14 +109,32 @@ def run_admission(spark, df, tag: str) -> None:
             admitted = batch.join(rejected, "vec_id", "left_anti")
         else:
             admitted = batch
+        if capped:
+            admitted = admitted.localCheckpoint(eager=True)
         admitted.write.mode("append").parquet(scratch)
+        if capped:
+            ppool = admitted.select("vec_id", "v", "cx", "cy")
+            if os.path.isdir(probe_dir):
+                ppool = ppool.unionByName(spark.read.parquet(probe_dir))
+            pw = Window.partitionBy("cx", "cy").orderBy(
+                F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+            )
+            new_probe = (
+                ppool.withColumn("rk", F.row_number().over(pw))
+                .where(F.col("rk") <= _SADM_STATE_CAP)
+                .drop("rk")
+                .localCheckpoint(eager=True)
+            )
+            new_probe.write.mode("overwrite").parquet(probe_dir)
     wall = time.time() - t0
     n_adm = spark.read.parquet(scratch).count()
+    mode = "capped" if capped else "uncapped"
     print(
-        f"{tag:8s} wall {wall:6.2f} s   probe pairs {pairs:>12,}   admitted {n_adm:,}",
+        f"{tag:8s} {mode:8s} wall {wall:6.2f} s   probe pairs {pairs:>12,}"
+        f"   admitted {n_adm:,}",
         flush=True,
     )
-    shutil.rmtree(scratch, ignore_errors=True)
+    shutil.rmtree(base, ignore_errors=True)
 
 
 def main() -> None:
@@ -119,7 +145,8 @@ def main() -> None:
     for tag, hot in (("uniform", False), ("hot", True)):
         df = build(spark, hot).persist()
         df.count()
-        run_admission(spark, df, tag)
+        for capped in (False, True):
+            run_admission(spark, df, tag, capped)
         df.unpersist()
     spark.stop()
 

@@ -1,9 +1,25 @@
-"""Local replica of the driver's correctness gate.
+"""Local replica of the driver's correctness gate — STRICT canon.
 
 Runs every `queries()` entry on Spark and its `oracle_sql()` twin on
 DuckDB at sf0.01, compares row count, column names, and an
-order-insensitive value multiset (floats rounded to 6 decimals before
-comparison so engine-level summation-order noise doesn't flag).
+order-insensitive value multiset.
+
+Canon version ``r12-strict-bitlevel`` (VERDICT r11 ask #2).  The r11
+round proved the old canon (floats rounded to 6 decimals, lists
+tuple-ized) was measurably LOOSER than the driver's: DuckDB's one
+``-0.0`` vs Spark's ``+0.0`` passed locally but hash-mismatched at the
+driver (`feature_scale_lineitem`), and a list-typed output column
+crashed the driver's pandas canonicalizer outright
+(`inverted_index_postings`).  The strict canon therefore:
+
+* hashes floats at BIT level (``struct.pack('<d', v)``) with NO
+  rounding and NO signed-zero folding — ``-0.0`` and ``+0.0`` are
+  different values here, exactly as they are to the driver;
+  ``Decimal`` is converted to the nearest double first (Spark emits
+  doubles where DuckDB may emit DECIMAL for the same expression);
+* REJECTS list-typed output columns at gate time ("driver canon
+  cannot sort lists — stringify or explode") instead of tuple-izing;
+* every NaN canonicalizes to the string "NaN" (payloads ignored).
 
 Usage: PYTHONPATH=/root/repo python tools/check_oracle.py [--json PATH] [name ...]
 
@@ -16,9 +32,11 @@ from __future__ import annotations
 
 import math
 import os
+import struct
 import sys
 import time
 from collections import Counter
+from decimal import Decimal
 
 import duckdb
 
@@ -28,18 +46,30 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
+CANON_VERSION = "r12-strict-bitlevel"
+
+
+class ListColumnError(TypeError):
+    """A result cell is list-typed — the driver's pandas canonicalizer
+    cannot sort/hash it (r11 `inverted_index_postings` crash)."""
+
 
 def norm_value(v):
     if v is None:
         return None
+    if isinstance(v, Decimal):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 6)
+        return struct.pack("<d", v)
     if hasattr(v, "isoformat"):  # datetime/date
         return v.isoformat().replace("T", " ")
-    if isinstance(v, list):
-        return tuple(norm_value(x) for x in v)
+    if isinstance(v, (list, tuple)):
+        raise ListColumnError(
+            "list-typed output cell: driver canon cannot sort lists — "
+            "stringify (array_join / array_to_string) or explode to rows"
+        )
     return v
 
 
@@ -110,11 +140,17 @@ def main() -> int:
         if sorted(s_cols) != sorted(o_cols):
             problems.append(f"columns spark={sorted(s_cols)} oracle={sorted(o_cols)}")
         if not problems:
-            ms, mo = row_multiset(s_rows, s_cols), row_multiset(o_rows, o_cols)
-            if ms != mo:
-                diff_s = list((ms - mo).items())[:3]
-                diff_o = list((mo - ms).items())[:3]
-                problems.append(f"values spark-only={diff_s} oracle-only={diff_o}")
+            try:
+                ms, mo = row_multiset(s_rows, s_cols), row_multiset(o_rows, o_cols)
+            except ListColumnError as e:
+                problems.append(str(e))
+            else:
+                if ms != mo:
+                    diff_s = list((ms - mo).items())[:3]
+                    diff_o = list((mo - ms).items())[:3]
+                    problems.append(
+                        f"values spark-only={diff_s} oracle-only={diff_o}"
+                    )
         if problems:
             failures.append(name)
             detail = "; ".join(problems)
@@ -130,6 +166,7 @@ def main() -> int:
         import json
 
         summary = {
+            "canon": CANON_VERSION,
             "sf_dir": SF_DIR,
             "n_queries": len(records),
             "n_ok": sum(1 for r in records.values() if r["status"] == "ok"),
