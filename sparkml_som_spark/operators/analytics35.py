@@ -143,7 +143,17 @@ def rerank_cross_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     learned model): distinct-query-term coverage, ln(1+tf),
     query-doc embedding cosine (the sem leg's _RRF_QVEC
     query vector; docs without an embedding score 0 on this feature),
-    -ln(first query-term position), -ln(doc length)."""
+    -ln(first query-term position), -ln(doc length).
+
+    Rounding-boundary margin (ADVICE r11): cos4 = ROUND(cosine, 4) is
+    computed by two different float folds (Spark's aggregate fold vs
+    DuckDB's list_cosine_similarity), so the oracle hash would flip if
+    a pool cosine sat within ~1 ulp of a .00005 rounding boundary.
+    Measured (same method as _SOMDD_TAU's >=1e-5 band): the minimum
+    distance of any pool cosine from its nearest boundary is 3.1e-7
+    absolute (sf0.001; 6.6e-6 at sf0.01, 8.3e-6 at sf0.1) — ten orders
+    of magnitude above the ~1e-17 divergence two IEEE folds of the
+    same 64-dim vectors can accumulate."""
     from sparkml_som_spark.operators.analytics29 import hybrid_rrf_fusion
 
     # the retriever's contract caps the pool at _RRF_TOPK rows — this
@@ -362,6 +372,10 @@ def semdedup_som_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.select("vec_id", "v")
         .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(_SOMDD_AUDIT_ROWS)
+        # limit() collapses to ONE partition — respread so the audit
+        # pair legs below run wide, not on a single task (measured
+        # 4.98 s -> sub-second for the broadcast-pair leg at sf0.1)
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
         .persist()
     )
     audit.count()
@@ -383,6 +397,9 @@ def semdedup_som_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(F.col("b_id").alias("vec_id"))
             .distinct()
+            # consumed by two actions (count + anti-join) — pin it so
+            # the audit pair join runs once
+            .persist()
         )
     ga = audit.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"))
     gb = audit.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"))
@@ -412,6 +429,8 @@ def semdedup_som_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
     )
     assigned.unpersist()
+    if cell_dropped_audit is not cell_dropped:
+        cell_dropped_audit.unpersist()
     cell_dropped.unpersist()
     audit.unpersist()
     global_dropped.unpersist()
@@ -537,9 +556,12 @@ def stream_dedup_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFram
     admitted ids — has cosine >= tau (within-batch near-dups both
     admit — the guard screens against the accepted corpus, not the
     in-flight batch, exactly as `stream_minhash_dedup_guard` does).
-    Admitted rows append to the persisted corpus; a per-cell reservoir
-    of the _SADM_K hash-smallest admitted ids is maintained
-    INCREMENTALLY as bottom-k(old reservoir  union  new admissions).
+    Admitted rows append to the persisted corpus; the per-cell probe
+    state (the _SADM_STATE_CAP hash-smallest admitted rows) is
+    maintained INCREMENTALLY as bottom-CAP(old state  union  new
+    admissions), and the _SADM_K-per-cell reservoir is DERIVED from it
+    — K <= CAP under the same order key makes bottom-K(probe state) ==
+    bottom-K(all admitted), so one maintained state serves both roles.
 
     Correctness identity: because both the reservoir's and the probe
     state's order key is a pure row hash (md5 of the id), per-cell
@@ -651,8 +673,13 @@ def stream_dedup_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFram
             # probe-state merge: per-cell hash-bottom-CAP of (old capped
             # state + batch admissions) — merge-invariant, so it equals
             # the oracle's batch recompute over all prior admissions;
-            # bounded at CAP x cells rows
-            ppool = admitted.select("vec_id", "v", "cx", "cy")
+            # bounded at CAP x cells rows.  The reservoir needs no
+            # per-epoch maintenance of its own: K <= CAP under the SAME
+            # order key means bottom-K(admitted) == bottom-K(probe
+            # state) at any point, so the reservoir is DERIVED from the
+            # probe state after the stream drains (one window instead
+            # of two per epoch; `label` rides along for the output).
+            ppool = admitted.select("vec_id", "label", "v", "cx", "cy")
             if os.path.isdir(probe_dir):
                 ppool = ppool.unionByName(sp.read.parquet(probe_dir))
             pw = Window.partitionBy("cx", "cy").orderBy(
@@ -665,22 +692,6 @@ def stream_dedup_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFram
                 .localCheckpoint(eager=True)
             )
             new_probe.write.mode("overwrite").parquet(probe_dir)
-            # reservoir merge: bottom-k per cell of (old state + batch
-            # admissions); bounded at K x cells rows, pinned on
-            # executors before the overwrite of its own input dir
-            pool = admitted.select("vec_id", "label", "cx", "cy")
-            if os.path.isdir(reservoir_dir):
-                pool = pool.unionByName(sp.read.parquet(reservoir_dir))
-            w = Window.partitionBy("cx", "cy").orderBy(
-                F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
-            )
-            new_res = (
-                pool.withColumn("rk", F.row_number().over(w))
-                .where(F.col("rk") <= _SADM_K)
-                .drop("rk")
-                .localCheckpoint(eager=True)
-            )
-            new_res.write.mode("overwrite").parquet(reservoir_dir)
 
     q = stream.writeStream.foreachBatch(admit).trigger(availableNow=True).start()
     try:
@@ -697,6 +708,21 @@ def stream_dedup_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFram
         )
 
     adm = spark.read.parquet(admitted_dir)
+    # materialize the reservoir from the final probe state: per-cell
+    # bottom-K, equal to bottom-K over ALL admitted rows because
+    # K <= CAP under the same md5 order (merge-invariance); kept as a
+    # queryable parquet artifact like the probe state
+    rw = Window.partitionBy("cx", "cy").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    (
+        spark.read.parquet(probe_dir)
+        .withColumn("rk", F.row_number().over(rw))
+        .where(F.col("rk") <= _SADM_K)
+        .select("vec_id", "label", "cx", "cy")
+        .write.mode("overwrite")
+        .parquet(reservoir_dir)
+    )
     res = spark.read.parquet(reservoir_dir)
     totals = shaped.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
     adm_counts = adm.groupBy("label").agg(F.count(F.lit(1)).alias("n_admitted"))

@@ -370,49 +370,63 @@ def register(name: str, sql: str | None = None, desc: str = ""):
 # both co-edited forms stay under the driver's eye in r11.
 # First-timer count this round: 24 never-sampled + cross_source_overlap
 # re-verdict on a new form.
+# Round-12 rotation: twenty-three slots green BOTH r10+r11
+# (approx_distinct_users, approx_percentile_prices,
+# poisson_bootstrap_ci, pit_feature_join, match_recognize_funnel,
+# hybrid_rrf_fusion, community_lpa_parts, near_dup_rate_by_source,
+# seed_expansion_ppr, purged_time_split, split_dedup_leakage,
+# stream_quantile_merge, lsh_tuning_curve, recs_item_item_cosine,
+# dsir_importance_weights, quality_naive_bayes, cdc_apply_changes,
+# phrase_search_positional, hard_negative_mining,
+# quantile_mergeable_sketch, jackknife_ratio_ci, normalize_dedup_gain,
+# triangle_count_copurchase — all still swept by the local gate, now
+# under the r12-strict-bitlevel canon) went to VERDICT r11 ask #5's
+# never-sampled backlog: the named oldest-wave priorities
+# (som_outlier_audit, observed_corpus_metrics, sample_stratified_hash,
+# pack_sequences_cumsum, udtf_ngram_counts, lateral_top2_customers),
+# the full source/sink family (source_orc_events,
+# source_csv_corrupt_records, source_parquet_schema_merge,
+# sink_compaction_rebalance, sink_partitioned_pruned_scan), the
+# never-sampled entries the verdict's "What's missing" list named
+# (abtest_two_proportion, agg_bool_countif, agg_regr_price_qty,
+# arrow_batch_charcount, centroid_embeddings_by_label,
+# cep_click_purchase_no_error, char_entropy_quality), and five more
+# oldest-wave entries including the two float-emitting oracles the
+# signed-zero sweep covered (try_arith_orders,
+# interpolate_linear_revenue, robust_mad_event_values,
+# sample_stratified_topk, redact_blocklist_terms).  Every incoming
+# entry is green under the STRICT bit-level local canon (this round's
+# 303/303 full-gate run).  Holds: the two r11 driver-red entries stay
+# in-window for re-verdict on their fixed forms
+# (inverted_index_postings — postings stringified;
+# feature_scale_lineitem — signed zero normalized); semdedup_som_cells
+# and stream_dedup_stratified_sample stay (first verdict r11 AND their
+# r12 rework moved query and oracle in lockstep — the co-edit-hold
+# rule); the remaining r11 first-timers stay for their second verdict;
+# som_cluster_summary / q1_pricing_summary remain the continuity
+# keepers.  Never-sampled backlog after this rotation: 27.
 _PRIORITY: tuple[str, ...] = (
     "som_cluster_summary",
-    "approx_distinct_users",
-    "approx_percentile_prices",
-    "poisson_bootstrap_ci",
-    "pit_feature_join",
-    "match_recognize_funnel",
-    "hybrid_rrf_fusion",
-    "community_lpa_parts",
-    "near_dup_rate_by_source",
-    "seed_expansion_ppr",
-    "purged_time_split",
-    "split_dedup_leakage",
-    "stream_quantile_merge",
-    "lsh_tuning_curve",
-    "recs_item_item_cosine",
-    "dsir_importance_weights",
-    "quality_naive_bayes",
-    "cdc_apply_changes",
-    "phrase_search_positional",
-    "hard_negative_mining",
-    "quantile_mergeable_sketch",
-    "jackknife_ratio_ci",
-    "normalize_dedup_gain",
-    "triangle_count_copurchase",
-    # round-11 first-timers and re-verdicts
-    "rerank_cross_features",
+    # r11 driver-red entries, fixed this round — held for re-verdict
+    "inverted_index_postings",
+    "feature_scale_lineitem",
+    # r12 co-edit holds (query+oracle reworked in lockstep this round)
     "semdedup_som_cells",
     "stream_dedup_stratified_sample",
+    # r11 first-timers awaiting their second verdict
+    "rerank_cross_features",
     "som_grouped_cv",
     "sample_dedup_stratified",
     "media_audio_chunk_plan",
     "window_rank_family_events",
     "cross_source_overlap",
     "anomaly_zscore_daily",
-    "inverted_index_postings",
     "attribution_multi_touch",
     "recursive_cte_month_spine",
     "pareto_frontier_lineitems",
     "markov_event_transitions",
     "agg_median_mode",
     "agg_listagg_nations",
-    "feature_scale_lineitem",
     "source_python_datasource",
     "sql_script_price_band_report",
     "funnel_cohort_daily",
@@ -421,6 +435,30 @@ _PRIORITY: tuple[str, ...] = (
     "cogroup_order_reconcile",
     "tz_local_day_rollup",
     "source_multiformat_union",
+    # round-12 first-timers (never driver-sampled before)
+    "som_outlier_audit",
+    "observed_corpus_metrics",
+    "sample_stratified_hash",
+    "pack_sequences_cumsum",
+    "udtf_ngram_counts",
+    "lateral_top2_customers",
+    "source_orc_events",
+    "source_csv_corrupt_records",
+    "source_parquet_schema_merge",
+    "sink_compaction_rebalance",
+    "sink_partitioned_pruned_scan",
+    "abtest_two_proportion",
+    "agg_bool_countif",
+    "agg_regr_price_qty",
+    "arrow_batch_charcount",
+    "centroid_embeddings_by_label",
+    "cep_click_purchase_no_error",
+    "char_entropy_quality",
+    "try_arith_orders",
+    "interpolate_linear_revenue",
+    "robust_mad_event_values",
+    "sample_stratified_topk",
+    "redact_blocklist_terms",
     # continuity keeper: a representative TPC-H row stays driver-visible
     "q1_pricing_summary",
 )
