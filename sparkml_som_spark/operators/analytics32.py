@@ -194,8 +194,9 @@ poisson_bootstrap_ci.__doc__ = poisson_bootstrap_ci.__doc__.format(r=_BOOT_R)
     sql="""
     WITH feats AS (
         SELECT o_custkey,
-               o_totalprice,
-               SUM(o_totalprice) OVER w - o_totalprice AS prior_spend,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w
+                   - CAST(ROUND(o_totalprice * 100) AS BIGINT) AS prior_spend_c,
                ROW_NUMBER() OVER w - 1 AS prior_orders
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
@@ -204,8 +205,9 @@ poisson_bootstrap_ci.__doc__ = poisson_bootstrap_ci.__doc__.format(r=_BOOT_R)
            CASE WHEN f.prior_orders >= 3 THEN '3+'
                 ELSE CAST(f.prior_orders AS VARCHAR) END AS prior_band,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(AVG(f.prior_spend), 2) AS avg_prior_spend,
-           ROUND(AVG(f.o_totalprice), 2) AS avg_price
+           ROUND(SUM(f.prior_spend_c) * 1.0 / COUNT(*) / 100.0, 2)
+               AS avg_prior_spend,
+           ROUND(SUM(f.price_c) * 1.0 / COUNT(*) / 100.0, 2) AS avg_price
     FROM feats f JOIN customer c ON c.c_custkey = f.o_custkey
     GROUP BY 1, 2 ORDER BY 1, 2
     """,
@@ -238,11 +240,16 @@ def pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("k"), "c_mktsegment"
     )
     w_ver = Window.partitionBy("k").orderBy("ts", "seq")
+    # prices carry as EXACT integer cents: integer sums are
+    # order-independent (every partial is exact below 2^53), so the
+    # group means cannot land an engine-dependent ulp away from a
+    # ROUND(.., 2) knife edge (the r12 strict bit-level canon caught
+    # exactly that at sf0.001: 254289.24 vs 254289.23 on one band)
     base = orders.select(
         F.col("o_custkey").alias("k"),
         F.col("o_orderdate").alias("ts"),
         F.col("o_orderkey").alias("seq"),
-        F.col("o_totalprice").alias("price"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price"),
     )
     versions = base.select(
         "k",
@@ -251,14 +258,14 @@ def pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("is_dim"),
         F.sum("price").over(w_ver).alias("cum_spend"),
         F.row_number().over(w_ver).alias("cum_orders"),
-        F.lit(None).cast("double").alias("price"),
+        F.lit(None).cast("long").alias("price"),
     )
     probes = base.select(
         "k",
         "ts",
         "seq",
         F.lit(0).alias("is_dim"),
-        F.lit(None).cast("double").alias("cum_spend"),
+        F.lit(None).cast("long").alias("cum_spend"),
         F.lit(None).cast("int").alias("cum_orders"),
         "price",
     )
@@ -279,10 +286,13 @@ def pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "k",
             "price",
-            F.coalesce("prior_spend", F.lit(0.0)).alias("prior_spend"),
+            F.coalesce("prior_spend", F.lit(0).cast("long")).alias("prior_spend"),
             F.coalesce("prior_orders", F.lit(0)).alias("prior_orders"),
         )
     )
+    # the mean is SUM(exact cents) * 1.0 / COUNT / 100.0 — spelled the
+    # same way in the oracle so both engines evaluate the identical
+    # left-to-right double expression over identical integers
     return (
         carried.join(F.broadcast(cust), "k")
         .groupBy(
@@ -293,8 +303,12 @@ def pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.avg("prior_spend"), 2).alias("avg_prior_spend"),
-            F.round(F.avg("price"), 2).alias("avg_price"),
+            F.round(
+                F.sum("prior_spend") * 1.0 / F.count(F.lit(1)) / 100.0, 2
+            ).alias("avg_prior_spend"),
+            F.round(F.sum("price") * 1.0 / F.count(F.lit(1)) / 100.0, 2).alias(
+                "avg_price"
+            ),
         )
         .orderBy("segment", "prior_band")
     )

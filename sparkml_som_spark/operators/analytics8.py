@@ -249,7 +249,7 @@ def cep_click_purchase_no_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT e.label,
            CAST(t.i AS BIGINT) AS dim_idx,
-           ROUND(AVG(e.embedding[t.i]::DOUBLE), 4) AS centroid,
+           ROUND(AVG(e.embedding[t.i]::DOUBLE), 4) + 0.0 AS centroid,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM embeddings e,
          unnest(generate_series(1, len(e.embedding))) AS t(i)
@@ -281,7 +281,10 @@ def centroid_embeddings_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("label", (F.col("pos") + 1).alias("dim_idx"))
         .agg(
-            F.round(F.avg("val"), 4).alias("centroid"),
+            # + 0.0 normalizes signed zero: a tiny negative mean rounds
+            # to -0.0 on one engine and +0.0 on the other (caught by the
+            # r12 strict bit-level canon at sf0.001)
+            (F.round(F.avg("val"), 4) + F.lit(0.0)).alias("centroid"),
             F.count("*").alias("n"),
         )
     )
