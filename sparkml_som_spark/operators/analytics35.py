@@ -378,7 +378,6 @@ def semdedup_som_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
         .persist()
     )
-    audit.count()
     if n_vectors <= _SOMDD_AUDIT_ROWS:
         cell_dropped_audit = cell_dropped  # audit corpus == full corpus
     else:
@@ -397,9 +396,6 @@ def semdedup_som_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(F.col("b_id").alias("vec_id"))
             .distinct()
-            # consumed by two actions (count + anti-join) — pin it so
-            # the audit pair join runs once
-            .persist()
         )
     ga = audit.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"))
     gb = audit.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"))
@@ -411,12 +407,27 @@ def semdedup_som_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("b_id").alias("vec_id"))
         .distinct()
-        .persist()
     )
 
-    n_cell_audit = cell_dropped_audit.count()
-    n_global = global_dropped.count()
-    n_unsound = cell_dropped_audit.join(global_dropped, "vec_id", "left_anti").count()
+    # all three audit counts come from ONE action: full-outer join of
+    # the two (distinct-id) drop sets, counting presence flags —
+    # instead of three separate count jobs (the job-floor cost showed
+    # up directly in the sf0.1 bench)
+    audit_stats = (
+        cell_dropped_audit.withColumn("c", F.lit(1))
+        .join(global_dropped.withColumn("g", F.lit(1)), "vec_id", "full_outer")
+        .agg(
+            F.count("c").alias("nc"),
+            F.count("g").alias("ng"),
+            F.sum(
+                F.when(F.col("c").isNotNull() & F.col("g").isNull(), 1).otherwise(0)
+            ).alias("nu"),
+        )
+        .first()
+    )
+    n_cell_audit = audit_stats["nc"]
+    n_global = audit_stats["ng"]
+    n_unsound = int(audit_stats["nu"] or 0)
     kept = multi.join(cell_dropped, "vec_id", "left_anti")
     ka = kept.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"), "cell")
     kb = kept.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"), "cell")
@@ -429,11 +440,8 @@ def semdedup_som_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
     )
     assigned.unpersist()
-    if cell_dropped_audit is not cell_dropped:
-        cell_dropped_audit.unpersist()
     cell_dropped.unpersist()
     audit.unpersist()
-    global_dropped.unpersist()
     return spark.createDataFrame(
         [
             (
