@@ -79,6 +79,29 @@ def word_grams_positional(tokens: Column, n: int) -> Column:
     return F.when(m >= n, acc).otherwise(F.array().cast("array<string>"))
 
 
+def hash_bottom_k(df, part_cols, k: int, id_col: str = "vec_id"):
+    """Per-group bottom-k rows under the (md5(id-as-string), id) total
+    order — the MERGE-INVARIANT selection (min-k(A u B) =
+    min-k(min-k(A) u B)) that the streaming admission probe state, the
+    stratified reservoir, and their DuckDB replay oracles all rely on.
+    ONE shared implementation keeps the order key identical at every
+    site; editing the key here is editing the operator==oracle identity
+    and must be mirrored in the oracles' ORDER BY md5(CAST(id AS
+    VARCHAR)), id.  For a GLOBAL (ungrouped) bottom-k prefer
+    orderBy(md5..).limit(k) — TakeOrderedAndProject — over an
+    empty-partition window, which would run on one task."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*part_cols).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_hbk_rk", F.row_number().over(w))
+        .where(F.col("_hbk_rk") <= k)
+        .drop("_hbk_rk")
+    )
+
+
 def round_half_away(x: float, digits: int = 4) -> float:
     """Python-side half-away-from-zero rounding on the BINARY double —
     i.e. the DuckDB / C `round()` contract our oracles compare against.

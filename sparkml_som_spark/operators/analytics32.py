@@ -205,9 +205,9 @@ poisson_bootstrap_ci.__doc__ = poisson_bootstrap_ci.__doc__.format(r=_BOOT_R)
            CASE WHEN f.prior_orders >= 3 THEN '3+'
                 ELSE CAST(f.prior_orders AS VARCHAR) END AS prior_band,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(f.prior_spend_c) * 1.0 / COUNT(*) / 100.0, 2)
+           ROUND(SUM(f.prior_spend_c) * 1.0 / COUNT(*)) / 100.0
                AS avg_prior_spend,
-           ROUND(SUM(f.price_c) * 1.0 / COUNT(*) / 100.0, 2) AS avg_price
+           ROUND(SUM(f.price_c) * 1.0 / COUNT(*)) / 100.0 AS avg_price
     FROM feats f JOIN customer c ON c.c_custkey = f.o_custkey
     GROUP BY 1, 2 ORDER BY 1, 2
     """,
@@ -241,10 +241,11 @@ def pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_ver = Window.partitionBy("k").orderBy("ts", "seq")
     # prices carry as EXACT integer cents: integer sums are
-    # order-independent (every partial is exact below 2^53), so the
-    # group means cannot land an engine-dependent ulp away from a
-    # ROUND(.., 2) knife edge (the r12 strict bit-level canon caught
-    # exactly that at sf0.001: 254289.24 vs 254289.23 on one band)
+    # order-independent (every partial is exact below 2^53), so both
+    # engines feed the IDENTICAL double into the final round (the r12
+    # strict bit-level canon caught the order-dependent form at
+    # sf0.001: 254289.24 vs 254289.23 on one band); the round itself
+    # is made engine-safe at the emit site below
     base = orders.select(
         F.col("o_custkey").alias("k"),
         F.col("o_orderdate").alias("ts"),
@@ -290,9 +291,14 @@ def pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("prior_orders", F.lit(0)).alias("prior_orders"),
         )
     )
-    # the mean is SUM(exact cents) * 1.0 / COUNT / 100.0 — spelled the
-    # same way in the oracle so both engines evaluate the identical
-    # left-to-right double expression over identical integers
+    # the mean rounds to the nearest integer CENT and only then divides
+    # by 100 — spelled the same way in the oracle.  Integer-position
+    # ROUND of a shared double is engine-safe (k.5 is exactly
+    # representable, so both engines see the same half and round away
+    # from zero); FRACTIONAL ROUND is not (Spark rounds the shortest
+    # decimal repr, DuckDB the binary value — ROUND(8.155, 2) gives
+    # 8.16 vs 8.15), which is why the division by 100 happens AFTER
+    # the round
     return (
         carried.join(F.broadcast(cust), "k")
         .groupBy(
@@ -303,10 +309,10 @@ def pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(
-                F.sum("prior_spend") * 1.0 / F.count(F.lit(1)) / 100.0, 2
+            (
+                F.round(F.sum("prior_spend") * 1.0 / F.count(F.lit(1)), 0) / 100.0
             ).alias("avg_prior_spend"),
-            F.round(F.sum("price") * 1.0 / F.count(F.lit(1)) / 100.0, 2).alias(
+            (F.round(F.sum("price") * 1.0 / F.count(F.lit(1)), 0) / 100.0).alias(
                 "avg_price"
             ),
         )

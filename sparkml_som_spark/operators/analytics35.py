@@ -49,7 +49,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sparkml_som_spark.functions import cosine, word_tokens
+from sparkml_som_spark.functions import cosine, hash_bottom_k, word_tokens
 from sparkml_som_spark.operators.analytics28 import _BM25_QUERY
 from sparkml_som_spark.operators.analytics29 import _RRF_ORACLE, _RRF_QVEC, _RRF_TOPK
 from sparkml_som_spark.operators.registry import register
@@ -342,7 +342,7 @@ def semdedup_som_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "v", F.col("t.bmu1").alias("c1"), F.col("t.bmu2").alias("c2"))
         .persist()
     )
-    assigned.count()
+    n_vectors = assigned.count()  # materializes the persist; reused below
     multi = assigned.select(
         "vec_id", "v", F.explode(F.array("c1", "c2")).alias("cell")
     )
@@ -367,7 +367,6 @@ def semdedup_som_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     # construction: a cell-dropped audit vector's witnessing lower-id
     # tau-neighbor is itself an audit row, hence in the audit-global
     # pair set.
-    n_vectors = assigned.count()
     audit = (
         assigned.select("vec_id", "v")
         .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
@@ -690,15 +689,9 @@ def stream_dedup_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFram
             ppool = admitted.select("vec_id", "label", "v", "cx", "cy")
             if os.path.isdir(probe_dir):
                 ppool = ppool.unionByName(sp.read.parquet(probe_dir))
-            pw = Window.partitionBy("cx", "cy").orderBy(
-                F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
-            )
-            new_probe = (
-                ppool.withColumn("rk", F.row_number().over(pw))
-                .where(F.col("rk") <= _SADM_STATE_CAP)
-                .drop("rk")
-                .localCheckpoint(eager=True)
-            )
+            new_probe = hash_bottom_k(
+                ppool, ("cx", "cy"), _SADM_STATE_CAP
+            ).localCheckpoint(eager=True)
             new_probe.write.mode("overwrite").parquet(probe_dir)
 
     q = stream.writeStream.foreachBatch(admit).trigger(availableNow=True).start()
@@ -720,13 +713,8 @@ def stream_dedup_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFram
     # bottom-K, equal to bottom-K over ALL admitted rows because
     # K <= CAP under the same md5 order (merge-invariance); kept as a
     # queryable parquet artifact like the probe state
-    rw = Window.partitionBy("cx", "cy").orderBy(
-        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
-    )
     (
-        spark.read.parquet(probe_dir)
-        .withColumn("rk", F.row_number().over(rw))
-        .where(F.col("rk") <= _SADM_K)
+        hash_bottom_k(spark.read.parquet(probe_dir), ("cx", "cy"), _SADM_K)
         .select("vec_id", "label", "cx", "cy")
         .write.mode("overwrite")
         .parquet(reservoir_dir)

@@ -249,7 +249,8 @@ def cep_click_purchase_no_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT e.label,
            CAST(t.i AS BIGINT) AS dim_idx,
-           ROUND(AVG(e.embedding[t.i]::DOUBLE), 4) + 0.0 AS centroid,
+           ROUND(SUM(CAST(ROUND(e.embedding[t.i]::DOUBLE * 10000000) AS BIGINT))
+                 * 1.0 / COUNT(*) / 1000.0) / 10000.0 + 0.0 AS centroid,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM embeddings e,
          unnest(generate_series(1, len(e.embedding))) AS t(i)
@@ -281,10 +282,29 @@ def centroid_embeddings_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("label", (F.col("pos") + 1).alias("dim_idx"))
         .agg(
-            # + 0.0 normalizes signed zero: a tiny negative mean rounds
-            # to -0.0 on one engine and +0.0 on the other (caught by the
-            # r12 strict bit-level canon at sf0.001)
-            (F.round(F.avg("val"), 4) + F.lit(0.0)).alias("centroid"),
+            # engine-identical 4-decimal mean: components quantize to
+            # EXACT integer 1e-7 units (integer sums are
+            # order-independent below 2^53 — a raw double AVG folds in
+            # engine-dependent order), the mean rounds at the INTEGER
+            # position in 1e-4 units (integer-position ROUND of a
+            # shared double is engine-safe; fractional ROUND is not —
+            # Spark rounds the shortest decimal repr, DuckDB the binary
+            # value), and the division to decimal happens after.
+            # + 0.0 normalizes signed zero (caught by the r12 strict
+            # canon at sf0.001).  Quantization moves each component by
+            # < 5e-8, invisible at 4 decimals except at the knife edges
+            # it exists to pin.
+            (
+                F.round(
+                    F.sum(F.round(F.col("val") * 10000000, 0).cast("long"))
+                    * 1.0
+                    / F.count(F.lit(1))
+                    / 1000.0,
+                    0,
+                )
+                / 10000.0
+                + F.lit(0.0)
+            ).alias("centroid"),
             F.count("*").alias("n"),
         )
     )

@@ -75,10 +75,9 @@ def build(spark, hot: bool):
 def run_admission(spark, df, tag: str, capped: bool) -> None:
     import shutil
 
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from sparkml_som_spark.functions import cosine
+    from sparkml_som_spark.functions import cosine, hash_bottom_k
     from sparkml_som_spark.operators.analytics35 import _SADM_STATE_CAP
 
     base = os.path.join(
@@ -116,15 +115,9 @@ def run_admission(spark, df, tag: str, capped: bool) -> None:
             ppool = admitted.select("vec_id", "v", "cx", "cy")
             if os.path.isdir(probe_dir):
                 ppool = ppool.unionByName(spark.read.parquet(probe_dir))
-            pw = Window.partitionBy("cx", "cy").orderBy(
-                F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
-            )
-            new_probe = (
-                ppool.withColumn("rk", F.row_number().over(pw))
-                .where(F.col("rk") <= _SADM_STATE_CAP)
-                .drop("rk")
-                .localCheckpoint(eager=True)
-            )
+            new_probe = hash_bottom_k(
+                ppool, ("cx", "cy"), _SADM_STATE_CAP
+            ).localCheckpoint(eager=True)
             new_probe.write.mode("overwrite").parquet(probe_dir)
     wall = time.time() - t0
     n_adm = spark.read.parquet(scratch).count()

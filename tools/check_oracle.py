@@ -50,8 +50,9 @@ CANON_VERSION = "r12-strict-bitlevel"
 
 
 class ListColumnError(TypeError):
-    """A result cell is list-typed — the driver's pandas canonicalizer
-    cannot sort/hash it (r11 `inverted_index_postings` crash)."""
+    """A result cell is a container type — the driver's pandas
+    canonicalizer cannot sort/hash it (r11 `inverted_index_postings`
+    crash for lists; maps/sets are the same class)."""
 
 
 def norm_value(v):
@@ -65,11 +66,14 @@ def norm_value(v):
         return struct.pack("<d", v)
     if hasattr(v, "isoformat"):  # datetime/date
         return v.isoformat().replace("T", " ")
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple, dict, set, frozenset)):
         raise ListColumnError(
-            "list-typed output cell: driver canon cannot sort lists — "
-            "stringify (array_join / array_to_string) or explode to rows"
+            f"{type(v).__name__}-typed output cell: driver canon cannot "
+            "sort containers — stringify (array_join / array_to_string / "
+            "to_json) or explode to rows"
         )
+    if isinstance(v, bytearray):  # Spark BinaryType; bytes is hashable
+        return bytes(v)
     return v
 
 
@@ -142,8 +146,11 @@ def main() -> int:
         if not problems:
             try:
                 ms, mo = row_multiset(s_rows, s_cols), row_multiset(o_rows, o_cols)
-            except ListColumnError as e:
-                problems.append(str(e))
+            except TypeError as e:
+                # ListColumnError, or an unhashable type norm_value
+                # did not anticipate — either way record a PER-ENTRY
+                # failure instead of crashing the whole sweep
+                problems.append(f"{type(e).__name__}: {e}")
             else:
                 if ms != mo:
                     diff_s = list((ms - mo).items())[:3]
