@@ -255,6 +255,56 @@ _SOMDD_TAU = 0.40
 _SOMDD_AUDIT_ROWS = 1000
 
 
+def _cell_pairs_over_tau(multi_df: DataFrame, tau: float, block: int = 2048) -> DataFrame:
+    """All (a_id, b_id) pairs with a_id < b_id, cosine >= tau, sharing at
+    least one assigned cell — ONE block-GEMM per cell group
+    (`applyInPandas`, Arrow) instead of an equi-join whose predicate
+    folds |cell|^2/2 interpreted expression-tree cosines (measured: the
+    HOF fold ran the sf0.1 pair legs on one AQE-coalesced task at
+    ~3.8 s; the GEMM form is sub-second).  Memory per group is the same
+    rows the equi-join would co-locate for that cell, blocked on the
+    probe side so the sims buffer stays bounded; sum(cell^2) work and
+    top-2 occupancy equalization bound group sizes (docstring of
+    `semdedup_som_cells`).  Pairs sharing two cells are emitted by both
+    groups — callers get a distinct()-ed set."""
+
+    def per_cell(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "a_id": pd.Series([], dtype="int64"),
+                "b_id": pd.Series([], dtype="int64"),
+            }
+        )
+        if n < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy(dtype="int64")
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        mu = m / np.linalg.norm(m, axis=1, keepdims=True)
+        out_a, out_b = [], []
+        for s in range(0, n, block):
+            sims = mu[s : s + block] @ mu.T
+            keep = (sims >= tau) & (ids[s : s + block, None] < ids[None, :])
+            bi, ci = np.nonzero(keep)
+            if len(bi):
+                out_a.append(ids[s : s + block][bi])
+                out_b.append(ids[ci])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {"a_id": np.concatenate(out_a), "b_id": np.concatenate(out_b)}
+        )
+
+    return (
+        multi_df.groupBy("cell")
+        .applyInPandas(per_cell, "a_id long, b_id long")
+        .distinct()
+    )
+
+
 @register(
     "semdedup_som_cells",
     sql=f"""
@@ -308,14 +358,21 @@ def semdedup_som_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound while staying sum(cell^2)-shaped, never all-pairs.
 
     Scale: the dedup leg is sum(cell^2) pairs over the 2x-expanded
-    assignment; the global brute-force leg is the sampled recall AUDIT
+    assignment, generated ONCE as a per-cell Arrow block-GEMM
+    (`_cell_pairs_over_tau`) and shared by the drop set, the
+    audit-restricted drop set, and the kept-pairwise theorem check;
+    the global brute-force leg is the sampled recall AUDIT
     a production deployment runs beside the index — bounded IN CODE to
     the md5-bottom-`_SOMDD_AUDIT_ROWS` corpus sample (the whole corpus
     below the gate, where the guards are exact; ROWS^2 pairs above it,
-    flat at any corpus size), with the audit sample broadcast once and
-    streamed against itself.  Both comparison legs restrict to the
-    SAME sample, so soundness (n_unsound == 0) holds by construction
-    at every scale, and the SQL oracle mirrors the identical sample.
+    flat at any corpus size).  The bounded sample is collected once and
+    its all-pairs leg is a single driver-side GEMM (the sample never
+    grows with the corpus, so this is the materialize_small bounded-
+    collect discipline, not a driver-side scale cliff); the cell-blocked
+    comparison leg stays distributed so the audit verifies the real
+    pipeline machinery.  Both comparison legs restrict to the SAME
+    sample, so soundness (n_unsound == 0) holds by construction at
+    every scale, and the SQL oracle mirrors the identical sample.
     The seeded session-cached SOM makes every leg deterministic."""
     import pandas as pd
 
@@ -347,18 +404,12 @@ def semdedup_som_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "v", F.explode(F.array("c1", "c2")).alias("cell")
     )
 
-    a = multi.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"), "cell")
-    b = multi.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"), "cell")
-    cell_dropped = (
-        a.join(b, "cell")
-        .where(
-            (F.col("a_id") < F.col("b_id"))
-            & (cosine(F.col("va"), F.col("vb")) >= _SOMDD_TAU)
-        )
-        .select(F.col("b_id").alias("vec_id"))
-        .distinct()
-        .persist()
-    )
+    # ALL over-tau same-cell pairs, computed ONCE (per-cell Arrow GEMM)
+    # and shared by the three consumers below — the dedup drop set, the
+    # audit-restricted drop set, and the kept-pairwise theorem check
+    # each previously re-ran their own HOF-cosine equi-join
+    pairs = _cell_pairs_over_tau(multi, _SOMDD_TAU).persist()
+    cell_dropped = pairs.select(F.col("b_id").alias("vec_id")).distinct().persist()
 
     # global audit leg, SAMPLE-BOUNDED IN CODE: both comparison legs
     # restrict to the md5-bottom-_SOMDD_AUDIT_ROWS audit corpus (the
@@ -367,80 +418,76 @@ def semdedup_som_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     # construction: a cell-dropped audit vector's witnessing lower-id
     # tau-neighbor is itself an audit row, hence in the audit-global
     # pair set.
-    audit = (
+    audit_rows = (
         assigned.select("vec_id", "v")
         .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(_SOMDD_AUDIT_ROWS)
-        # limit() collapses to ONE partition — respread so the audit
-        # pair legs below run wide, not on a single task (measured
-        # 4.98 s -> sub-second for the broadcast-pair leg at sf0.1)
-        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
-        .persist()
+        # bounded collect (the materialize_small discipline): the audit
+        # sample is structurally capped at _SOMDD_AUDIT_ROWS rows, so
+        # its ROWS^2 brute-force leg is ONE in-memory GEMM on the driver
+        # (~10 ms for 1000 x 128) rather than a distributed crossJoin
+        # evaluating ~ROWS^2/2 interpreted expression-tree cosine folds
+        # — measured 3.15 s -> driver-instant for the audit-stats leg at
+        # sf0.1, and flat at ANY corpus size since the sample never
+        # grows.  The GEMM fold differs from the expression fold by
+        # ulps; membership at the tau boundary is protected by
+        # _SOMDD_TAU's measured >=1e-5 band (the same argument that
+        # covers the Spark-vs-DuckDB fold gap).
+        .collect()
     )
+    import numpy as np
+
+    aud_ids = np.array([r["vec_id"] for r in audit_rows], dtype=np.int64)
+    aud_m = np.stack([np.asarray(r["v"], dtype=np.float64) for r in audit_rows])
+    norms = np.linalg.norm(aud_m, axis=1)
+    sims = (aud_m @ aud_m.T) / np.outer(norms, norms)
+    over = (sims >= _SOMDD_TAU) & (aud_ids[:, None] < aud_ids[None, :])
+    global_drop_ids = set(aud_ids[np.unique(np.nonzero(over)[1])].tolist())
+    n_global = len(global_drop_ids)
+
+    # the cell-blocked comparison leg stays DISTRIBUTED and derives from
+    # the registered pipeline's OWN pair set: restricting `pairs` to
+    # both-endpoints-in-audit is exactly the pair set the cell machinery
+    # forms over the audit inputs (an audit that replayed the cell logic
+    # on the driver would no longer verify the product); its result is
+    # bounded by the audit size, so collecting the drop ids is bounded
     if n_vectors <= _SOMDD_AUDIT_ROWS:
         cell_dropped_audit = cell_dropped  # audit corpus == full corpus
     else:
-        multi_audit = multi.join(F.broadcast(audit.select("vec_id")), "vec_id")
-        ma = multi_audit.select(
-            F.col("vec_id").alias("a_id"), F.col("v").alias("va"), "cell"
-        )
-        mb = multi_audit.select(
-            F.col("vec_id").alias("b_id"), F.col("v").alias("vb"), "cell"
+        audit_ids_df = spark.createDataFrame(
+            [(int(i),) for i in aud_ids], "vec_id long"
         )
         cell_dropped_audit = (
-            ma.join(mb, "cell")
-            .where(
-                (F.col("a_id") < F.col("b_id"))
-                & (cosine(F.col("va"), F.col("vb")) >= _SOMDD_TAU)
+            pairs.join(
+                F.broadcast(audit_ids_df.withColumnRenamed("vec_id", "a_id")),
+                "a_id",
+                "left_semi",
+            )
+            .join(
+                F.broadcast(audit_ids_df.withColumnRenamed("vec_id", "b_id")),
+                "b_id",
+                "left_semi",
             )
             .select(F.col("b_id").alias("vec_id"))
             .distinct()
         )
-    ga = audit.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"))
-    gb = audit.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"))
-    global_dropped = (
-        ga.crossJoin(F.broadcast(gb))
-        .where(
-            (F.col("a_id") < F.col("b_id"))
-            & (cosine(F.col("va"), F.col("vb")) >= _SOMDD_TAU)
-        )
-        .select(F.col("b_id").alias("vec_id"))
-        .distinct()
-    )
-
-    # all three audit counts come from ONE action: full-outer join of
-    # the two (distinct-id) drop sets, counting presence flags —
-    # instead of three separate count jobs (the job-floor cost showed
-    # up directly in the sf0.1 bench)
-    audit_stats = (
-        cell_dropped_audit.withColumn("c", F.lit(1))
-        .join(global_dropped.withColumn("g", F.lit(1)), "vec_id", "full_outer")
-        .agg(
-            F.count("c").alias("nc"),
-            F.count("g").alias("ng"),
-            F.sum(
-                F.when(F.col("c").isNotNull() & F.col("g").isNull(), 1).otherwise(0)
-            ).alias("nu"),
-        )
-        .first()
-    )
-    n_cell_audit = audit_stats["nc"]
-    n_global = audit_stats["ng"]
-    n_unsound = int(audit_stats["nu"] or 0)
-    kept = multi.join(cell_dropped, "vec_id", "left_anti")
-    ka = kept.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"), "cell")
-    kb = kept.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"), "cell")
+    cda_ids = {r["vec_id"] for r in cell_dropped_audit.select("vec_id").collect()}
+    n_cell_audit = len(cda_ids)
+    n_unsound = len(cda_ids - global_drop_ids)
+    # SemDeDup theorem check: an over-tau same-cell pair with BOTH
+    # endpoints surviving would be a violation — structurally impossible
+    # (the higher id of every such pair is in cell_dropped), verified
+    # from the materialized pair set rather than assumed
     n_kept_viol = (
-        ka.join(kb, "cell")
-        .where(
-            (F.col("a_id") < F.col("b_id"))
-            & (cosine(F.col("va"), F.col("vb")) >= _SOMDD_TAU)
+        pairs.join(
+            cell_dropped.withColumnRenamed("vec_id", "a_id"), "a_id", "left_anti"
         )
+        .join(cell_dropped.withColumnRenamed("vec_id", "b_id"), "b_id", "left_anti")
         .count()
     )
     assigned.unpersist()
+    pairs.unpersist()
     cell_dropped.unpersist()
-    audit.unpersist()
     return spark.createDataFrame(
         [
             (

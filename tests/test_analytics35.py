@@ -146,6 +146,48 @@ def test_semdedup_som_cells_laws(spark, sf_dir, reg):
     assert not viol.any()
 
 
+def test_cell_pairs_over_tau_gemm_law(spark):
+    """`_cell_pairs_over_tau` (per-cell Arrow block-GEMM) must equal the
+    brute-force per-cell pair definition — exercised with block=7 so
+    the probe-side blocking boundary is crossed many times, with a
+    vector assigned to two cells (the operator's top-2 multi-assign
+    shape, which double-emits shared pairs the distinct() must fold),
+    and with exact duplicates so pairs exist above tau."""
+    from sparkml_som_spark.operators.analytics35 import _cell_pairs_over_tau
+
+    rng = np.random.default_rng(7)
+    n, d = 60, 8
+    ids = rng.permutation(1000)[:n].astype("int64")
+    cells = rng.integers(0, 3, n)
+    X = rng.normal(size=(n, d))
+    X[1] = X[0]  # cos == 1 pair
+    X[7] = X[3] * 2.0  # scaled duplicate, cos == 1
+    rows = [
+        (int(ids[i]), [float(x) for x in X[i]], int(cells[i])) for i in range(n)
+    ]
+    rows += [  # multi-assign every 5th vector to a second cell
+        (int(ids[i]), [float(x) for x in X[i]], int((cells[i] + 1) % 3))
+        for i in range(0, n, 5)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>, cell int")
+    tau = 0.8
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in _cell_pairs_over_tau(df, tau, block=7).collect()
+    }
+    by_cell = {}
+    for vid, v, c in rows:
+        by_cell.setdefault(c, []).append((vid, np.array(v)))
+    expect = set()
+    for members in by_cell.values():
+        for ai, av in members:
+            for bi, bv in members:
+                cos = float(av @ bv / (np.linalg.norm(av) * np.linalg.norm(bv)))
+                if ai < bi and cos >= tau:
+                    expect.add((ai, bi))
+    assert got == expect
+
+
 def test_semdedup_audit_sample_binding(spark, sf_dir, reg, monkeypatch):
     """Force the audit gate to BIND (AUDIT_ROWS=100 over a 500-vector
     corpus) and replay the whole audit leg in NumPy: the audit corpus
