@@ -255,18 +255,58 @@ _SOMDD_TAU = 0.40
 _SOMDD_AUDIT_ROWS = 1000
 
 
-def _cell_pairs_over_tau(multi_df: DataFrame, tau: float, block: int = 2048) -> DataFrame:
+# Size gate for the per-cell GEMM pair path: an applyInPandas group
+# materializes the WHOLE cell in one Python worker (n*d*8 bytes for the
+# matrix, plus a blocked sims buffer) — fine for quantizer-bounded
+# occupancy, but a degenerate fit could put the corpus in one cell, and
+# a property of the trained SOM is not a guard.  Above the gate the
+# builder fails over to the streaming equi-join (slower interpreted
+# cosine, bounded join buffers) — the `dedup_embedding_cosine`
+# gate-with-failover discipline applied per GROUP instead of per corpus.
+_PAIR_GEMM_GROUP_BYTES = 128 << 20
+
+
+def _cell_pairs_over_tau(
+    multi_df: DataFrame,
+    tau: float,
+    block: int = 2048,
+    max_group_bytes: int = _PAIR_GEMM_GROUP_BYTES,
+) -> DataFrame:
     """All (a_id, b_id) pairs with a_id < b_id, cosine >= tau, sharing at
     least one assigned cell — ONE block-GEMM per cell group
     (`applyInPandas`, Arrow) instead of an equi-join whose predicate
     folds |cell|^2/2 interpreted expression-tree cosines (measured: the
     HOF fold ran the sf0.1 pair legs on one AQE-coalesced task at
-    ~3.8 s; the GEMM form is sub-second).  Memory per group is the same
-    rows the equi-join would co-locate for that cell, blocked on the
-    probe side so the sims buffer stays bounded; sum(cell^2) work and
-    top-2 occupancy equalization bound group sizes (docstring of
-    `semdedup_som_cells`).  Pairs sharing two cells are emitted by both
-    groups — callers get a distinct()-ed set."""
+    ~3.8 s; the GEMM form is sub-second).  Cosine is computed
+    normalize-then-dot (`mu @ mu.T`) — the SAME formula the driver-side
+    audit GEMM uses, so the two legs can only disagree by fold-order
+    ulps (covered by the tau band), never by formula.  The probe side
+    is blocked adaptively so the sims buffer stays within
+    `max_group_bytes`; the hottest cell's group size is CHECKED against
+    the same bound first, failing over to the streaming equi-join when
+    it would not fit (hot-cell guard — see `_PAIR_GEMM_GROUP_BYTES`).
+    Pairs sharing two cells are emitted by both groups — callers get a
+    distinct()-ed set."""
+    head = multi_df.groupBy("cell").count().agg(F.max("count").alias("mx")).first()
+    mx = int(head["mx"] or 0) if head else 0
+    dim_row = multi_df.select(F.size("v").alias("d")).first()
+    dim = int(dim_row["d"]) if dim_row else 0
+    if mx * dim * 8 > max_group_bytes:
+        a = multi_df.select(
+            F.col("vec_id").alias("a_id"), F.col("v").alias("va"), "cell"
+        )
+        b = multi_df.select(
+            F.col("vec_id").alias("b_id"), F.col("v").alias("vb"), "cell"
+        )
+        return (
+            a.join(b, "cell")
+            .where(
+                (F.col("a_id") < F.col("b_id"))
+                & (cosine(F.col("va"), F.col("vb")) >= F.lit(tau))
+            )
+            .select("a_id", "b_id")
+            .distinct()
+        )
 
     def per_cell(pdf):
         import numpy as np
@@ -284,13 +324,15 @@ def _cell_pairs_over_tau(multi_df: DataFrame, tau: float, block: int = 2048) -> 
         ids = pdf["vec_id"].to_numpy(dtype="int64")
         m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
         mu = m / np.linalg.norm(m, axis=1, keepdims=True)
+        # bound the sims buffer too: block_eff * n * 8 <= max_group_bytes
+        block_eff = max(1, min(block, max_group_bytes // max(1, n * 8)))
         out_a, out_b = [], []
-        for s in range(0, n, block):
-            sims = mu[s : s + block] @ mu.T
-            keep = (sims >= tau) & (ids[s : s + block, None] < ids[None, :])
+        for s in range(0, n, block_eff):
+            sims = mu[s : s + block_eff] @ mu.T
+            keep = (sims >= tau) & (ids[s : s + block_eff, None] < ids[None, :])
             bi, ci = np.nonzero(keep)
             if len(bi):
-                out_a.append(ids[s : s + block][bi])
+                out_a.append(ids[s : s + block_eff][bi])
                 out_b.append(ids[ci])
         if not out_a:
             return empty
@@ -438,11 +480,19 @@ def semdedup_som_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     aud_ids = np.array([r["vec_id"] for r in audit_rows], dtype=np.int64)
-    aud_m = np.stack([np.asarray(r["v"], dtype=np.float64) for r in audit_rows])
-    norms = np.linalg.norm(aud_m, axis=1)
-    sims = (aud_m @ aud_m.T) / np.outer(norms, norms)
-    over = (sims >= _SOMDD_TAU) & (aud_ids[:, None] < aud_ids[None, :])
-    global_drop_ids = set(aud_ids[np.unique(np.nonzero(over)[1])].tolist())
+    if len(audit_rows):
+        aud_m = np.stack([np.asarray(r["v"], dtype=np.float64) for r in audit_rows])
+        # normalize-then-dot: the SAME cosine formula as the cell leg's
+        # per-cell GEMM (`_cell_pairs_over_tau`), so the soundness
+        # comparison below can only diverge by fold-order ulps — which
+        # _SOMDD_TAU's measured >=1e-5 boundary band absorbs — never by
+        # a formula-level difference between the two legs
+        aud_mu = aud_m / np.linalg.norm(aud_m, axis=1, keepdims=True)
+        sims = aud_mu @ aud_mu.T
+        over = (sims >= _SOMDD_TAU) & (aud_ids[:, None] < aud_ids[None, :])
+        global_drop_ids = set(aud_ids[np.unique(np.nonzero(over)[1])].tolist())
+    else:  # empty corpus: no sample, no drops
+        global_drop_ids = set()
     n_global = len(global_drop_ids)
 
     # the cell-blocked comparison leg stays DISTRIBUTED and derives from
@@ -474,17 +524,15 @@ def semdedup_som_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     cda_ids = {r["vec_id"] for r in cell_dropped_audit.select("vec_id").collect()}
     n_cell_audit = len(cda_ids)
     n_unsound = len(cda_ids - global_drop_ids)
-    # SemDeDup theorem check: an over-tau same-cell pair with BOTH
-    # endpoints surviving would be a violation — structurally impossible
-    # (the higher id of every such pair is in cell_dropped), verified
-    # from the materialized pair set rather than assumed
-    n_kept_viol = (
-        pairs.join(
-            cell_dropped.withColumnRenamed("vec_id", "a_id"), "a_id", "left_anti"
-        )
-        .join(cell_dropped.withColumnRenamed("vec_id", "b_id"), "b_id", "left_anti")
-        .count()
-    )
+    # SemDeDup theorem check: surviving vectors must be pairwise < tau
+    # within every cell.  RECOMPUTED over the kept rows (a second pair
+    # generation, not a filter of the first pair set — filtering `pairs`
+    # by its own distinct b_ids is a tautology that could never fail),
+    # so a bug in the drop-set derivation or the pair plumbing CAN trip
+    # this guard; GEMM keeps the recomputation sub-second
+    n_kept_viol = _cell_pairs_over_tau(
+        multi.join(cell_dropped, "vec_id", "left_anti"), _SOMDD_TAU
+    ).count()
     assigned.unpersist()
     pairs.unpersist()
     cell_dropped.unpersist()

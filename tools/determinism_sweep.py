@@ -56,26 +56,32 @@ from check_oracle import SF_DIR, TABLES, norm_value  # noqa: E402
 def _cell_bytes(v) -> bytes:
     v = norm_value(v)
     if v is None:
-        return b"\x00"
-    if isinstance(v, bool):  # before int: True must not alias 1
-        return b"b" + (b"1" if v else b"0")
-    if isinstance(v, bytes):
-        return b"f" + v
-    if isinstance(v, str):
-        return b"s" + v.encode("utf-8")
-    if isinstance(v, int):
-        return b"i" + str(v).encode()
-    return b"r" + repr(v).encode()
+        payload = b"\x00"
+    elif isinstance(v, bool):  # before int: True must not alias 1
+        payload = b"b" + (b"1" if v else b"0")
+    elif isinstance(v, bytes):
+        payload = b"f" + v
+    elif isinstance(v, str):
+        payload = b"s" + v.encode("utf-8")
+    elif isinstance(v, int):
+        payload = b"i" + str(v).encode()
+    else:
+        payload = b"r" + repr(v).encode()
+    # length prefix makes the row encoding INJECTIVE: without it, a
+    # variable-length cell containing the separator (raw packed doubles
+    # hit any byte ~0.4% of the time per position) or a shifted cell
+    # split could collide two different rows into one pre-hash image
+    return len(payload).to_bytes(4, "little") + payload
 
 
 def result_hash(rows, colnames) -> str:
     """Order-insensitive multiset hash under the strict canon: md5 per
-    row (columns in name order), digests sorted, then md5 of the
-    concatenation.  Identical results => identical hash regardless of
-    row order; one flipped float bit => different hash."""
+    row (columns in name order, cells length-prefixed), digests sorted,
+    then md5 of the concatenation.  Identical results => identical hash
+    regardless of row order; one flipped float bit => different hash."""
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     row_digests = sorted(
-        hashlib.md5(b"\x1f".join(_cell_bytes(r[i]) for i in order)).digest()
+        hashlib.md5(b"".join(_cell_bytes(r[i]) for i in order)).digest()
         for r in rows
     )
     h = hashlib.md5()
