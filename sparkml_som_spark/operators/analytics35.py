@@ -49,7 +49,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sparkml_som_spark.functions import cosine, hash_bottom_k, word_tokens
+from sparkml_som_spark.functions import cosine, hash_bottom_k, norm2, word_tokens
 from sparkml_som_spark.operators.analytics28 import _BM25_QUERY
 from sparkml_som_spark.operators.analytics29 import _RRF_ORACLE, _RRF_QVEC, _RRF_TOPK
 from sparkml_som_spark.operators.registry import register
@@ -256,14 +256,20 @@ _SOMDD_AUDIT_ROWS = 1000
 
 
 # Size gate for the per-cell GEMM pair path: an applyInPandas group
-# materializes the WHOLE cell in one Python worker (n*d*8 bytes for the
-# matrix, plus a blocked sims buffer) — fine for quantizer-bounded
-# occupancy, but a degenerate fit could put the corpus in one cell, and
-# a property of the trained SOM is not a guard.  Above the gate the
-# builder fails over to the streaming equi-join (slower interpreted
-# cosine, bounded join buffers) — the `dedup_embedding_cosine`
-# gate-with-failover discipline applied per GROUP instead of per corpus.
+# materializes the WHOLE cell in one Python worker — fine for
+# quantizer-bounded occupancy, but a degenerate fit could put the
+# corpus in one cell, and a property of the trained SOM is not a
+# guard.  Above the gate the builder fails over to the streaming
+# equi-join (slower interpreted cosine, bounded join buffers) — the
+# `dedup_embedding_cosine` gate-with-failover discipline applied per
+# GROUP instead of per corpus.  The gate multiplies the raw matrix
+# size (n*d*8) by _PAIR_GEMM_MEM_FACTOR because the worker's PEAK
+# holds more than the matrix at once: the Arrow/pandas group it was
+# decoded from (object arrays, ~2x the packed size), the normalized
+# copy `mu` (another n*d*8), and the blocked sims+keep buffers
+# (bounded at max_group_bytes by block_eff but typically far smaller).
 _PAIR_GEMM_GROUP_BYTES = 128 << 20
+_PAIR_GEMM_MEM_FACTOR = 4
 
 
 def _cell_pairs_over_tau(
@@ -282,16 +288,24 @@ def _cell_pairs_over_tau(
     audit GEMM uses, so the two legs can only disagree by fold-order
     ulps (covered by the tau band), never by formula.  The probe side
     is blocked adaptively so the sims buffer stays within
-    `max_group_bytes`; the hottest cell's group size is CHECKED against
-    the same bound first, failing over to the streaming equi-join when
-    it would not fit (hot-cell guard — see `_PAIR_GEMM_GROUP_BYTES`).
-    Pairs sharing two cells are emitted by both groups — callers get a
-    distinct()-ed set."""
+    `max_group_bytes`; the hottest cell's PEAK worker footprint
+    (matrix bytes x `_PAIR_GEMM_MEM_FACTOR` for the Arrow group, the
+    normalized copy, and the sims/keep buffers) is CHECKED against the
+    same bound first, failing over to the streaming equi-join when it
+    would not fit (hot-cell guard — see `_PAIR_GEMM_GROUP_BYTES`).
+    Zero-norm vectors have no defined cosine and are paired with
+    NOTHING on either path (the GEMM path zeroes their normalized row
+    so every sim is 0 < tau; the failover predicate requires both
+    norms positive — without that guard Spark's NaN-greatest ordering
+    would pair a zero-norm vector with EVERYTHING, silently diverging
+    from the GEMM path when the hot-cell gate trips).  Pairs sharing
+    two cells are emitted by both groups — callers get a distinct()-ed
+    set."""
     head = multi_df.groupBy("cell").count().agg(F.max("count").alias("mx")).first()
     mx = int(head["mx"] or 0) if head else 0
     dim_row = multi_df.select(F.size("v").alias("d")).first()
     dim = int(dim_row["d"]) if dim_row else 0
-    if mx * dim * 8 > max_group_bytes:
+    if mx * dim * 8 * _PAIR_GEMM_MEM_FACTOR > max_group_bytes:
         a = multi_df.select(
             F.col("vec_id").alias("a_id"), F.col("v").alias("va"), "cell"
         )
@@ -302,6 +316,8 @@ def _cell_pairs_over_tau(
             a.join(b, "cell")
             .where(
                 (F.col("a_id") < F.col("b_id"))
+                & (norm2(F.col("va")) > 0)
+                & (norm2(F.col("vb")) > 0)
                 & (cosine(F.col("va"), F.col("vb")) >= F.lit(tau))
             )
             .select("a_id", "b_id")
@@ -323,7 +339,10 @@ def _cell_pairs_over_tau(
             return empty
         ids = pdf["vec_id"].to_numpy(dtype="int64")
         m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-        mu = m / np.linalg.norm(m, axis=1, keepdims=True)
+        nrm = np.linalg.norm(m, axis=1, keepdims=True)
+        # zero-norm rows normalize to the zero vector (sims 0 < tau):
+        # paired with nothing, matching the failover's norm>0 predicate
+        mu = np.divide(m, nrm, out=np.zeros_like(m), where=nrm > 0)
         # bound the sims buffer too: block_eff * n * 8 <= max_group_bytes
         block_eff = max(1, min(block, max_group_bytes // max(1, n * 8)))
         out_a, out_b = [], []
@@ -489,7 +508,23 @@ def semdedup_som_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a formula-level difference between the two legs
         aud_mu = aud_m / np.linalg.norm(aud_m, axis=1, keepdims=True)
         sims = aud_mu @ aud_mu.T
-        over = (sims >= _SOMDD_TAU) & (aud_ids[:, None] < aud_ids[None, :])
+        distinct = aud_ids[:, None] < aud_ids[None, :]
+        # tau-band self-check: soundness between the per-cell blocked
+        # GEMM and this full-matrix GEMM rests on no pair sitting at
+        # the tau boundary (different BLAS shapes may fold the same dot
+        # product in a different order).  The claim is EMPIRICAL, so
+        # re-measure it on every run: the closest sim must clear tau by
+        # far more than any fold-order ulp (~1e-15; measured corpus
+        # band >= 1e-5, asserted at 1e-9).
+        if distinct.any():
+            band = np.abs(sims[distinct] - _SOMDD_TAU).min()
+            if band < 1e-9:
+                raise AssertionError(
+                    f"semdedup tau band violated: closest sim within {band:.2e} "
+                    f"of tau={_SOMDD_TAU} — cross-leg fold-order soundness is "
+                    "no longer guaranteed; re-pick tau outside the data band"
+                )
+        over = (sims >= _SOMDD_TAU) & distinct
         global_drop_ids = set(aud_ids[np.unique(np.nonzero(over)[1])].tolist())
     else:  # empty corpus: no sample, no drops
         global_drop_ids = set()

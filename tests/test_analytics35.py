@@ -188,6 +188,38 @@ def test_cell_pairs_over_tau_gemm_law(spark):
     assert got == expect
 
 
+def test_cell_pairs_over_tau_failover_equals_gemm(spark):
+    """The hot-cell failover (streaming equi-join, taken when the
+    group-size gate trips) must emit the SAME pair set as the GEMM
+    path — including for zero-norm vectors, where unguarded SQL NaN
+    ordering would otherwise pair a degenerate vector with everything
+    while the GEMM path pairs it with nothing."""
+    from sparkml_som_spark.operators.analytics35 import _cell_pairs_over_tau
+
+    rng = np.random.default_rng(13)
+    n, d = 40, 6
+    ids = rng.permutation(500)[:n].astype("int64")
+    cells = rng.integers(0, 3, n)
+    X = rng.normal(size=(n, d))
+    X[1] = X[0]  # exact duplicate, cos == 1
+    X[5] = 0.0  # zero-norm: cosine undefined, must pair with NOTHING
+    rows = [
+        (int(ids[i]), [float(x) for x in X[i]], int(cells[i])) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>, cell int")
+    tau = 0.8
+    gemm = {
+        (r["a_id"], r["b_id"]) for r in _cell_pairs_over_tau(df, tau).collect()
+    }
+    failover = {
+        (r["a_id"], r["b_id"])
+        for r in _cell_pairs_over_tau(df, tau, max_group_bytes=1).collect()
+    }
+    assert failover == gemm
+    zid = int(ids[5])
+    assert not any(zid in p for p in gemm)
+
+
 def test_semdedup_audit_sample_binding(spark, sf_dir, reg, monkeypatch):
     """Force the audit gate to BIND (AUDIT_ROWS=100 over a 500-vector
     corpus) and replay the whole audit leg in NumPy: the audit corpus
