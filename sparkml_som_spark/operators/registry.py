@@ -405,60 +405,92 @@ def register(name: str, sql: str | None = None, desc: str = ""):
 # rule); the remaining r11 first-timers stay for their second verdict;
 # som_cluster_summary / q1_pricing_summary remain the continuity
 # keepers.  Never-sampled backlog after this rotation: 27.
+# Round-13 rotation (VERDICT r12 asks #1/#2/#4): the ENTIRE remaining
+# never-sampled backlog (27 entries, listed in the r13-incoming block
+# below) takes the window — after this round cumulative driver
+# coverage is 303/303, every entry with at least one hard verdict.
+# Out: the 25 green-both-r11+r12 slots NOT held (rerank_cross_features,
+# som_grouped_cv, sample_dedup_stratified, media_audio_chunk_plan,
+# window_rank_family_events, cross_source_overlap, anomaly_zscore_daily,
+# attribution_multi_touch, recursive_cte_month_spine,
+# pareto_frontier_lineitems, markov_event_transitions, agg_median_mode,
+# agg_listagg_nations, source_python_datasource,
+# sql_script_price_band_report, funnel_cohort_daily,
+# tokenizer_vocab_coverage, embedding_quantize_int8,
+# cogroup_order_reconcile, tz_local_day_rollup, source_multiformat_union
+# — all >=2 consecutive greens) and the 23 r12 first-timers (one strict
+# bit-level green each; ask #4 ranks r01-era single verdicts above
+# second verdicts on recent greens).  All swept by the local gate every
+# round.  Holds: inverted_index_postings / feature_scale_lineitem (the
+# fixed r11 reds, one more verdict on unchanged code) and
+# semdedup_som_cells / stream_dedup_stratified_sample (r12 co-edits;
+# this round's ADVICE fixes also touch the shared pair kernel and the
+# guard body).  The 17 remaining slots go to the OLDEST single-verdict
+# entries — all r01 greens under the original loose canon, which now
+# get a second verdict under the strict bit-level canon.
+# Never-sampled backlog after this rotation: 0.
 _PRIORITY: tuple[str, ...] = (
     "som_cluster_summary",
-    # r11 driver-red entries, fixed this round — held for re-verdict
+    # r13 holds (VERDICT r12 ask #2): the two fixed r11 reds get one
+    # more verdict on unchanged code, and the two r12 co-edits stay so
+    # the driver verdicts the exact shipped form (this round's ADVICE
+    # fixes also touch their shared pair kernel / guard body)
     "inverted_index_postings",
     "feature_scale_lineitem",
-    # r12 co-edit holds (query+oracle reworked in lockstep this round)
     "semdedup_som_cells",
     "stream_dedup_stratified_sample",
-    # r11 first-timers awaiting their second verdict
-    "rerank_cross_features",
-    "som_grouped_cv",
-    "sample_dedup_stratified",
-    "media_audio_chunk_plan",
-    "window_rank_family_events",
-    "cross_source_overlap",
-    "anomaly_zscore_daily",
-    "attribution_multi_touch",
-    "recursive_cte_month_spine",
-    "pareto_frontier_lineitems",
-    "markov_event_transitions",
-    "agg_median_mode",
-    "agg_listagg_nations",
-    "source_python_datasource",
-    "sql_script_price_band_report",
-    "funnel_cohort_daily",
-    "tokenizer_vocab_coverage",
-    "embedding_quantize_int8",
-    "cogroup_order_reconcile",
-    "tz_local_day_rollup",
-    "source_multiformat_union",
-    # round-12 first-timers (never driver-sampled before)
-    "som_outlier_audit",
-    "observed_corpus_metrics",
-    "sample_stratified_hash",
-    "pack_sequences_cumsum",
-    "udtf_ngram_counts",
-    "lateral_top2_customers",
-    "source_orc_events",
-    "source_csv_corrupt_records",
-    "source_parquet_schema_merge",
-    "sink_compaction_rebalance",
-    "sink_partitioned_pruned_scan",
-    "abtest_two_proportion",
-    "agg_bool_countif",
-    "agg_regr_price_qty",
-    "arrow_batch_charcount",
-    "centroid_embeddings_by_label",
-    "cep_click_purchase_no_error",
-    "char_entropy_quality",
-    "try_arith_orders",
-    "interpolate_linear_revenue",
-    "robust_mad_event_values",
-    "sample_stratified_topk",
-    "redact_blocklist_terms",
+    # r13 incoming (ask #1): the ENTIRE never-driver-sampled backlog —
+    # after this round every registry entry has >=1 driver verdict.
+    # Each re-verified green via tools/check_oracle.py (full-registry
+    # sf0.01 run, 0 failures) before the swap.
+    "chisq_status_segment",
+    "chunk_overlap_plan",
+    "delete_tombstone_audit",
+    "drift_tv_distance",
+    "embedding_norm_audit",
+    "forecast_seasonal_baseline",
+    "incremental_agg_merge",
+    "interval_coverage_users",
+    "join_hint_shuffle_hash",
+    "mrr_prefix_rank",
+    "null_skew_split_join",
+    "param_sql_part_stats",
+    "path_trigrams_events",
+    "posexplode_tokens",
+    "profile_table_columns",
+    "seasonality_profile_events",
+    "segment_algebra_users",
+    "session_bounce_rollup",
+    "share_of_parent_revenue",
+    "sla_ship_latency_percentiles",
+    "source_binaryfile_blobs",
+    "streak_longest_active",
+    "text_bpe_token_stats",
+    "text_lang_profile",
+    "twa_intraday_value",
+    "word_freq_topk",
+    "wow_revenue_growth",
+    # r13 fillers (ask #4): oldest single-verdict entries — each green
+    # exactly once, in round 1, under the original loose canon; a
+    # second verdict under the strict bit-level canon deepens the
+    # oldest evidence first
+    "agg_distinct_customers",
+    "array_math_embeddings",
+    "conditional_agg_order_mix",
+    "correlated_subquery_acctbal",
+    "cte_sql_text",
+    "cube_sales",
+    "date_arith_ship_latency",
+    "date_funcs_orders",
+    "filter_project_parts",
+    "from_json_events_struct",
+    "grouping_sets_sales",
+    "join_anti_dormant_customers",
+    "join_outer_nation_coverage",
+    "join_semi_active_customers",
+    "json_extract_events",
+    "null_count_semantics",
+    "percentiles_event_value",
     # continuity keeper: a representative TPC-H row stays driver-visible
     "q1_pricing_summary",
 )

@@ -936,8 +936,18 @@ def stream_minhash_dedup_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
             grp = batch_df.where(F.col("epoch") == e).select("doc_id", "source", "text")
             # band the batch ONCE; the same rows serve the probe join
             # and (filtered to admissions) the index append — the
-            # admitted corpus is never re-shingled
-            bb = minhash_band_buckets(grp).localCheckpoint(eager=True)
+            # admitted corpus is never re-shingled.  LAZY checkpoint:
+            # banding materializes (and its lineage truncates) inside
+            # the admitted-checkpoint job below instead of a dedicated
+            # eager job — one fewer scheduled job per micro-batch, and
+            # per-batch job count is exactly what a high-frequency
+            # trigger pays for.  Checkpoint, NOT plain persist: both
+            # appends below write to directories this batch's plan
+            # READS (admitted_dir / band_dir), so lineage must be
+            # truncated before the first append — a cache-evicted
+            # persist would recompute through a scan that now includes
+            # the batch's own appended files
+            bb = minhash_band_buckets(grp).localCheckpoint(eager=False)
             rejected = None
             if os.path.isdir(band_dir):
                 adm = sp.read.parquet(admitted_dir)
@@ -967,6 +977,10 @@ def stream_minhash_dedup_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
             admitted = (
                 grp.join(rejected, "doc_id", "left_anti") if rejected is not None else grp
             )
+            # eager checkpoint stays MANDATORY here: this write appends
+            # to admitted_dir, which admitted's own plan reads — the
+            # lineage must be truncated before the append (this job
+            # also materializes bb's lazy checkpoint above)
             admitted = admitted.localCheckpoint(eager=True)
             admitted.write.mode("append").parquet(admitted_dir)
             bb.join(admitted.select("doc_id"), "doc_id", "semi").write.mode(
