@@ -293,14 +293,17 @@ def _cell_pairs_over_tau(
     normalized copy, and the sims/keep buffers) is CHECKED against the
     same bound first, failing over to the streaming equi-join when it
     would not fit (hot-cell guard — see `_PAIR_GEMM_GROUP_BYTES`).
-    Zero-norm vectors have no defined cosine and are paired with
-    NOTHING on either path (the GEMM path zeroes their normalized row
-    so every sim is 0 < tau; the failover predicate requires both
-    norms positive — without that guard Spark's NaN-greatest ordering
-    would pair a zero-norm vector with EVERYTHING, silently diverging
-    from the GEMM path when the hot-cell gate trips).  Pairs sharing
-    two cells are emitted by both groups — callers get a distinct()-ed
-    set."""
+    DEGENERATE vectors — zero norm, or any NaN/Inf element — have no
+    defined cosine and are paired with NOTHING on either path, for ANY
+    tau: the GEMM path masks rows whose norm is not positive-finite
+    out of `keep` explicitly (not via the zero-fill trick, which would
+    re-admit them at tau <= 0), and the failover predicate requires
+    both norms positive AND finite — under Spark's NaN-greatest
+    ordering a bare `norm2 > 0` passes a NaN norm and `NaN >= tau` is
+    TRUE, so an unguarded equi-join would pair a degenerate vector
+    with EVERYTHING, silently diverging from the GEMM path when the
+    hot-cell gate trips.  Pairs sharing two cells are emitted by both
+    groups — callers get a distinct()-ed set."""
     head = multi_df.groupBy("cell").count().agg(F.max("count").alias("mx")).first()
     mx = int(head["mx"] or 0) if head else 0
     dim_row = multi_df.select(F.size("v").alias("d")).first()
@@ -316,8 +319,12 @@ def _cell_pairs_over_tau(
             a.join(b, "cell")
             .where(
                 (F.col("a_id") < F.col("b_id"))
+                # positive AND finite: `< lit(inf)` is False for both
+                # Inf and (NaN-greatest) NaN norms
                 & (norm2(F.col("va")) > 0)
+                & (norm2(F.col("va")) < F.lit(float("inf")))
                 & (norm2(F.col("vb")) > 0)
+                & (norm2(F.col("vb")) < F.lit(float("inf")))
                 & (cosine(F.col("va"), F.col("vb")) >= F.lit(tau))
             )
             .select("a_id", "b_id")
@@ -340,15 +347,24 @@ def _cell_pairs_over_tau(
         ids = pdf["vec_id"].to_numpy(dtype="int64")
         m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
         nrm = np.linalg.norm(m, axis=1, keepdims=True)
-        # zero-norm rows normalize to the zero vector (sims 0 < tau):
-        # paired with nothing, matching the failover's norm>0 predicate
+        # degenerate rows (zero / NaN / Inf norm) are masked out of
+        # `keep` below — an EXPLICIT exclusion that holds for any tau,
+        # matching the failover's positive-finite-norm predicate; the
+        # zero-fill only keeps the GEMM NaN-free
+        ok = (nrm.ravel() > 0) & np.isfinite(nrm.ravel())
         mu = np.divide(m, nrm, out=np.zeros_like(m), where=nrm > 0)
+        mu[~ok] = 0.0
         # bound the sims buffer too: block_eff * n * 8 <= max_group_bytes
         block_eff = max(1, min(block, max_group_bytes // max(1, n * 8)))
         out_a, out_b = [], []
         for s in range(0, n, block_eff):
             sims = mu[s : s + block_eff] @ mu.T
-            keep = (sims >= tau) & (ids[s : s + block_eff, None] < ids[None, :])
+            keep = (
+                (sims >= tau)
+                & (ids[s : s + block_eff, None] < ids[None, :])
+                & ok[s : s + block_eff, None]
+                & ok[None, :]
+            )
             bi, ci = np.nonzero(keep)
             if len(bi):
                 out_a.append(ids[s : s + block_eff][bi])
@@ -379,9 +395,16 @@ def _cell_pairs_over_tau(
         FROM e)
       WHERE rk <= {_SOMDD_AUDIT_ROWS}
     ), gdrop AS (
+      -- degenerate vectors (zero / non-finite norm) pair with nothing,
+      -- matching the Spark legs' positive-finite-norm mask (DuckDB's
+      -- NaN-greatest ordering would otherwise pair them with everything)
       SELECT DISTINCT b.vec_id
       FROM audit a JOIN audit b ON a.vec_id < b.vec_id
-      WHERE list_cosine_similarity(a.v, b.v) >= {_SOMDD_TAU}
+      WHERE isfinite(list_dot_product(a.v, a.v))
+        AND list_dot_product(a.v, a.v) > 0
+        AND isfinite(list_dot_product(b.v, b.v))
+        AND list_dot_product(b.v, b.v) > 0
+        AND list_cosine_similarity(a.v, b.v) >= {_SOMDD_TAU}
     )
     SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_vectors,
            CAST((SELECT COUNT(*) FROM gdrop) AS BIGINT) AS n_dropped_global,
@@ -506,9 +529,22 @@ def semdedup_som_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         # comparison below can only diverge by fold-order ulps — which
         # _SOMDD_TAU's measured >=1e-5 boundary band absorbs — never by
         # a formula-level difference between the two legs
-        aud_mu = aud_m / np.linalg.norm(aud_m, axis=1, keepdims=True)
+        aud_nrm = np.linalg.norm(aud_m, axis=1, keepdims=True)
+        # degenerate rows pair with nothing — the same positive-finite
+        # mask as the cell leg (`_cell_pairs_over_tau`) and the
+        # oracle's norm>0 predicate; an unguarded divide would also
+        # turn the band measurement below into a vacuous NaN
+        aud_ok = (aud_nrm.ravel() > 0) & np.isfinite(aud_nrm.ravel())
+        aud_mu = np.divide(
+            aud_m, aud_nrm, out=np.zeros_like(aud_m), where=aud_nrm > 0
+        )
+        aud_mu[~aud_ok] = 0.0
         sims = aud_mu @ aud_mu.T
-        distinct = aud_ids[:, None] < aud_ids[None, :]
+        distinct = (
+            (aud_ids[:, None] < aud_ids[None, :])
+            & aud_ok[:, None]
+            & aud_ok[None, :]
+        )
         # tau-band self-check: soundness between the per-cell blocked
         # GEMM and this full-matrix GEMM rests on no pair sitting at
         # the tau boundary (different BLAS shapes may fold the same dot

@@ -409,7 +409,7 @@ def register(name: str, sql: str | None = None, desc: str = ""):
 # never-sampled backlog (27 entries, listed in the r13-incoming block
 # below) takes the window — after this round cumulative driver
 # coverage is 303/303, every entry with at least one hard verdict.
-# Out: the 25 green-both-r11+r12 slots NOT held (rerank_cross_features,
+# Out: the 21 green-both-r11+r12 slots NOT held (rerank_cross_features,
 # som_grouped_cv, sample_dedup_stratified, media_audio_chunk_plan,
 # window_rank_family_events, cross_source_overlap, anomaly_zscore_daily,
 # attribution_multi_touch, recursive_cte_month_spine,

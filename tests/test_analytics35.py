@@ -203,21 +203,24 @@ def test_cell_pairs_over_tau_failover_equals_gemm(spark):
     X = rng.normal(size=(n, d))
     X[1] = X[0]  # exact duplicate, cos == 1
     X[5] = 0.0  # zero-norm: cosine undefined, must pair with NOTHING
+    X[9, 2] = float("nan")  # NaN element: NaN norm, pairs with NOTHING
+    X[14, 0] = float("inf")  # Inf element: Inf norm, pairs with NOTHING
     rows = [
         (int(ids[i]), [float(x) for x in X[i]], int(cells[i])) for i in range(n)
     ]
     df = spark.createDataFrame(rows, "vec_id long, v array<double>, cell int")
-    tau = 0.8
-    gemm = {
-        (r["a_id"], r["b_id"]) for r in _cell_pairs_over_tau(df, tau).collect()
-    }
-    failover = {
-        (r["a_id"], r["b_id"])
-        for r in _cell_pairs_over_tau(df, tau, max_group_bytes=1).collect()
-    }
-    assert failover == gemm
-    zid = int(ids[5])
-    assert not any(zid in p for p in gemm)
+    for tau in (0.8, 0.0):  # tau=0: the zero-fill trick alone would
+        gemm = {  # re-admit degenerate rows; the explicit mask must not
+            (r["a_id"], r["b_id"])
+            for r in _cell_pairs_over_tau(df, tau).collect()
+        }
+        failover = {
+            (r["a_id"], r["b_id"])
+            for r in _cell_pairs_over_tau(df, tau, max_group_bytes=1).collect()
+        }
+        assert failover == gemm, f"tau={tau}"
+        for bad in (int(ids[5]), int(ids[9]), int(ids[14])):
+            assert not any(bad in p for p in gemm), f"tau={tau} id={bad}"
 
 
 def test_semdedup_audit_sample_binding(spark, sf_dir, reg, monkeypatch):
