@@ -429,70 +429,89 @@ def register(name: str, sql: str | None = None, desc: str = ""):
 # entries — all r01 greens under the original loose canon, which now
 # get a second verdict under the strict bit-level canon.
 # Never-sampled backlog after this rotation: 0.
+# Round-14 rotation (VERDICT r13 ask #1): the depth round — after r13
+# every entry has >=1 verdict but 74 have EXACTLY one; this window
+# gives the 48 OLDEST of them their second verdict under the strict
+# bit-level canon (24 r01-era loose-canon greens, all 23 r12
+# first-timers, and chisq_status_segment as the first of the r13
+# batch), leaving the single-verdict count at 26 (all r13
+# first-timers, queued for r15).  Out: the four r13 holds
+# (inverted_index_postings, feature_scale_lineitem,
+# semdedup_som_cells, stream_dedup_stratified_sample — all green BOTH
+# r12+r13, rotation-eligible by rule), the 17 r13 fillers (now
+# double-verdicted r01+r13), and 26 of the 27 r13 first-timers (one
+# strict green each; ask #1 ranks old single verdicts above second
+# verdicts on recent greens — the r13 precedent).  Co-edit
+# adjudication for semdedup_som_cells: this round's ADVICE fixes touch
+# its pair kernel (_cell_pairs_over_tau), but the oracle is untouched
+# and the executed path at gate SFs is bit-identical — the failover
+# prefilter sits on a branch the gate corpora never trip, and
+# block_eff's tightened cap only binds for cells far larger than any
+# gate corpus produces (verified: fresh check_oracle green on
+# semdedup_som_cells + semdedup_grid_cosine after the edit, and the
+# determinism sweep re-runs at round close) — so the lockstep-co-edit
+# hold rule (query AND oracle moved together) does not trigger and
+# the slot goes to the depth backlog.  Every incoming entry
+# re-verified green via tools/check_oracle.py before the swap
+# (two batches, 0 failures each).
 _PRIORITY: tuple[str, ...] = (
+    # continuity keepers (unchanged since r12): the SOM flagship and a
+    # representative TPC-H row stay driver-visible every round
     "som_cluster_summary",
-    # r13 holds (VERDICT r12 ask #2): the two fixed r11 reds get one
-    # more verdict on unchanged code, and the two r12 co-edits stay so
-    # the driver verdicts the exact shipped form (this round's ADVICE
-    # fixes also touch their shared pair kernel / guard body)
-    "inverted_index_postings",
-    "feature_scale_lineitem",
-    "semdedup_som_cells",
-    "stream_dedup_stratified_sample",
-    # r13 incoming (ask #1): the ENTIRE never-driver-sampled backlog —
-    # after this round every registry entry has >=1 driver verdict.
-    # Each re-verified green via tools/check_oracle.py (full-registry
-    # sf0.01 run, 0 failures) before the swap.
-    "chisq_status_segment",
-    "chunk_overlap_plan",
-    "delete_tombstone_audit",
-    "drift_tv_distance",
-    "embedding_norm_audit",
-    "forecast_seasonal_baseline",
-    "incremental_agg_merge",
-    "interval_coverage_users",
-    "join_hint_shuffle_hash",
-    "mrr_prefix_rank",
-    "null_skew_split_join",
-    "param_sql_part_stats",
-    "path_trigrams_events",
-    "posexplode_tokens",
-    "profile_table_columns",
-    "seasonality_profile_events",
-    "segment_algebra_users",
-    "session_bounce_rollup",
-    "share_of_parent_revenue",
-    "sla_ship_latency_percentiles",
-    "source_binaryfile_blobs",
-    "streak_longest_active",
-    "text_bpe_token_stats",
-    "text_lang_profile",
-    "twa_intraday_value",
-    "word_freq_topk",
-    "wow_revenue_growth",
-    # r13 fillers (ask #4): oldest single-verdict entries — each green
-    # exactly once, in round 1, under the original loose canon; a
-    # second verdict under the strict bit-level canon deepens the
-    # oldest evidence first
-    "agg_distinct_customers",
-    "array_math_embeddings",
-    "conditional_agg_order_mix",
-    "correlated_subquery_acctbal",
-    "cte_sql_text",
-    "cube_sales",
-    "date_arith_ship_latency",
-    "date_funcs_orders",
-    "filter_project_parts",
-    "from_json_events_struct",
-    "grouping_sets_sales",
-    "join_anti_dormant_customers",
-    "join_outer_nation_coverage",
-    "join_semi_active_customers",
-    "json_extract_events",
-    "null_count_semantics",
-    "percentiles_event_value",
-    # continuity keeper: a representative TPC-H row stays driver-visible
     "q1_pricing_summary",
+    # r14 incoming, oldest-first: 24 r01-era entries whose only verdict
+    # predates the strict canon
+    "pivot_event_matrix",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q16_supplier_variety",
+    "q18_large_orders",
+    "q19_disjunctive_filter",
+    "q22_dormant_rich_customers",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q7_nation_volume",
+    "q9_product_profit",
+    "range_join_price_bands",
+    "rollup_sales",
+    "sample_hash_deterministic",
+    "set_except_nations",
+    "set_intersect_nations",
+    "set_union_partners",
+    "sort_topk_lineitems",
+    "string_funcs_parts",
+    "unpivot_part_metrics",
+    "window_lag_lead",
+    "window_trailing_7d",
+    # r14 incoming: the 23 r12 first-timers (one strict green each)
+    "abtest_two_proportion",
+    "agg_bool_countif",
+    "agg_regr_price_qty",
+    "arrow_batch_charcount",
+    "centroid_embeddings_by_label",
+    "cep_click_purchase_no_error",
+    "char_entropy_quality",
+    "interpolate_linear_revenue",
+    "lateral_top2_customers",
+    "observed_corpus_metrics",
+    "pack_sequences_cumsum",
+    "redact_blocklist_terms",
+    "robust_mad_event_values",
+    "sample_stratified_hash",
+    "sample_stratified_topk",
+    "sink_compaction_rebalance",
+    "sink_partitioned_pruned_scan",
+    "som_outlier_audit",
+    "source_csv_corrupt_records",
+    "source_orc_events",
+    "source_parquet_schema_merge",
+    "try_arith_orders",
+    "udtf_ngram_counts",
+    # r14 incoming: first of the 27 r13 first-timers (the rest queue
+    # for r15 — single-verdict count after this round: 26)
+    "chisq_status_segment",
 )
 
 
