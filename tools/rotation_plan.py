@@ -92,6 +92,31 @@ def main() -> None:
         if n not in _PRIORITY:
             print(f"  in?  {n}")
 
+    # depth phase (r14+): once every entry has >=1 verdict the backlog
+    # is verdict DEPTH — rank entries by (verdict count, first-verdict
+    # round) so the oldest-thinnest evidence rotates in first
+    counts: dict[str, int] = {}
+    first: dict[str, int] = {}
+    for rnd in rounds:
+        for n in sampled[rnd]:
+            counts[n] = counts.get(n, 0) + 1
+            first.setdefault(n, rnd)
+    hist: dict[int, int] = {}
+    for n in reg:
+        hist[counts.get(n, 0)] = hist.get(counts.get(n, 0), 0) + 1
+    print()
+    print(f"verdict-depth histogram (count -> entries): "
+          f"{dict(sorted(hist.items()))}")
+    singles = sorted(
+        (n for n in reg if counts.get(n, 0) == 1),
+        key=lambda n: (first[n], n),
+    )
+    print(f"single-verdict entries, oldest first (depth-phase rotation "
+          f"candidates): {len(singles)}")
+    for n in singles:
+        mark = "in window" if n in _PRIORITY[:50] else "in?"
+        print(f"  {mark:10s} r{first[n]:02d} {n}")
+
 
 if __name__ == "__main__":
     try:
