@@ -188,6 +188,37 @@ def test_cell_pairs_over_tau_gemm_law(spark):
     assert got == expect
 
 
+def test_cell_pairs_over_tau_adaptive_block_cap(spark):
+    """With `max_group_bytes` shrunk so the factor-folded sims bound
+    BINDS (block_eff = max_group_bytes / FACTOR / (n*8) << block,
+    r14's tightened accounting) but the group gate does NOT trip, the
+    GEMM path must still equal brute force — the adaptive blocking may
+    change BLAS fold shapes, never membership."""
+    from sparkml_som_spark.operators.analytics35 import _cell_pairs_over_tau
+
+    rng = np.random.default_rng(21)
+    n, d = 40, 2  # gate needs n*d*8*4 <= mg; mg/4/(n*8) = 3 forces blocking
+    mg = 4096
+    ids = rng.permutation(400)[:n].astype("int64")
+    X = rng.normal(size=(n, d))
+    X[1] = X[0]
+    X[9] = X[4] * 3.0
+    rows = [(int(ids[i]), [float(x) for x in X[i]], 0) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>, cell int")
+    tau = 0.8
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in _cell_pairs_over_tau(df, tau, max_group_bytes=mg).collect()
+    }
+    expect = set()
+    for ai, av in zip(ids, X):
+        for bi, bv in zip(ids, X):
+            cos = float(av @ bv / (np.linalg.norm(av) * np.linalg.norm(bv)))
+            if ai < bi and cos >= tau:
+                expect.add((int(ai), int(bi)))
+    assert got == expect
+
+
 def test_cell_pairs_over_tau_failover_equals_gemm(spark):
     """The hot-cell failover (streaming equi-join, taken when the
     group-size gate trips) must emit the SAME pair set as the GEMM
