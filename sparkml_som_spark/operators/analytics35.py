@@ -267,11 +267,15 @@ _SOMDD_AUDIT_ROWS = 1000
 # holds more than the matrix at once: the Arrow/pandas group it was
 # decoded from (object arrays, ~2x the packed size), the normalized
 # copy `mu` (another n*d*8), and the blocked sims+keep buffers —
-# block_eff caps those at max_group_bytes / _PAIR_GEMM_MEM_FACTOR, so
-# the worst-case worker peak is bounded by
+# block_eff caps those at max_group_bytes / _PAIR_GEMM_MEM_FACTOR via
+# a 10-bytes-per-element divisor (float64 sims = 8, the bool keep
+# mask = 1, plus one transient bool comparison operand = 1 — the mask
+# is built with in-place &= so no more than one full-width temporary
+# is ever live), so the worst-case worker peak is bounded by
 # max_group_bytes * (1 + 1/_PAIR_GEMM_MEM_FACTOR), not the ~2x that an
 # independent full-max_group_bytes sims allowance would permit
-# (ADVICE r13: the sims bound is folded INTO the factor accounting).
+# (ADVICE r13 folded sims into the factor accounting; ADVICE r14
+# folded in the keep mask and temporaries).
 _PAIR_GEMM_GROUP_BYTES = 128 << 20
 _PAIR_GEMM_MEM_FACTOR = 4
 
@@ -363,26 +367,29 @@ def _cell_pairs_over_tau(
         ok = (nrm.ravel() > 0) & np.isfinite(nrm.ravel())
         mu = np.divide(m, nrm, out=np.zeros_like(m), where=nrm > 0)
         mu[~ok] = 0.0
-        # bound the sims buffer WITHIN the factor-4 accounting:
-        # block_eff * n * 8 <= max_group_bytes / _PAIR_GEMM_MEM_FACTOR,
-        # so sims+keep add at most 1/FACTOR of the gate bound on top of
-        # the factor-gated matrix terms (see _PAIR_GEMM_MEM_FACTOR)
+        # bound the sims+keep buffers WITHIN the factor-4 accounting:
+        # block_eff * n * 10 <= max_group_bytes / _PAIR_GEMM_MEM_FACTOR
+        # — 8 B/element float64 sims + 1 B/element bool keep + 1
+        # B/element for the single full-width bool temporary the
+        # in-place &= chain below keeps live (ADVICE r14: keep and its
+        # temporaries are inside the bound, not on top of it)
         block_eff = max(
             1,
             min(
                 block,
-                max_group_bytes // _PAIR_GEMM_MEM_FACTOR // max(1, n * 8),
+                max_group_bytes // _PAIR_GEMM_MEM_FACTOR // max(1, n * 10),
             ),
         )
         out_a, out_b = [], []
         for s in range(0, n, block_eff):
             sims = mu[s : s + block_eff] @ mu.T
-            keep = (
-                (sims >= tau)
-                & (ids[s : s + block_eff, None] < ids[None, :])
-                & ok[s : s + block_eff, None]
-                & ok[None, :]
-            )
+            # in-place &= so at most ONE extra full-width bool array
+            # (the id-comparison operand) is live beyond keep itself;
+            # the ok broadcasts never materialize block_eff x n
+            keep = sims >= tau
+            keep &= ids[s : s + block_eff, None] < ids[None, :]
+            keep &= ok[s : s + block_eff, None]
+            keep &= ok[None, :]
             bi, ci = np.nonzero(keep)
             if len(bi):
                 out_a.append(ids[s : s + block_eff][bi])

@@ -5,12 +5,12 @@ streaming/stateful.py) only inside pytest; the driver's gate never
 exercised the streaming path.  These entries run each streaming
 operator end-to-end — file-source stream -> transformation -> memory
 sink, Trigger.AvailableNow — and return the sink contents as the
-query result.  They register rows-only (no oracle SQL: DuckDB has no
-streaming twin); the batch operators with identical window semantics
-(`tumbling_window_events`, `sliding_window_events`,
-`session_window_events`, `dedup_exact_groups`) are the correctness
-oracles, per SURVEY.md §5's batch-twin strategy — the judge can compare
-row counts across the pairs.
+query result.  Every entry carries a FULL value-hash oracle (the
+§2D/§2E oracle upgrades replaced the original rows-only registration):
+each streaming query's oracle is the ANSI-SQL batch twin with
+identical window/dedup semantics, so DuckDB verifies the drained sink
+contents bit-for-bit, per SURVEY.md §5's batch-twin strategy
+(`LOCAL_GATE_r14.json`: `n_rows_only: 0`).
 
 At scale the same topology runs unchanged against a Kafka/file
 firehose: the watermark bounds window/dedup state, AvailableNow becomes

@@ -189,15 +189,15 @@ def test_cell_pairs_over_tau_gemm_law(spark):
 
 
 def test_cell_pairs_over_tau_adaptive_block_cap(spark):
-    """With `max_group_bytes` shrunk so the factor-folded sims bound
-    BINDS (block_eff = max_group_bytes / FACTOR / (n*8) << block,
-    r14's tightened accounting) but the group gate does NOT trip, the
+    """With `max_group_bytes` shrunk so the factor-folded sims+keep
+    bound BINDS (block_eff = max_group_bytes / FACTOR / (n*10) << block,
+    r15's tightened accounting) but the group gate does NOT trip, the
     GEMM path must still equal brute force — the adaptive blocking may
     change BLAS fold shapes, never membership."""
     from sparkml_som_spark.operators.analytics35 import _cell_pairs_over_tau
 
     rng = np.random.default_rng(21)
-    n, d = 40, 2  # gate needs n*d*8*4 <= mg; mg/4/(n*8) = 3 forces blocking
+    n, d = 40, 2  # gate needs n*d*8*4 <= mg; mg/4/(n*10) = 2 forces blocking
     mg = 4096
     ids = rng.permutation(400)[:n].astype("int64")
     X = rng.normal(size=(n, d))

@@ -114,7 +114,7 @@ def main() -> None:
     print(f"single-verdict entries, oldest first (depth-phase rotation "
           f"candidates): {len(singles)}")
     for n in singles:
-        mark = "in window" if n in _PRIORITY[:50] else "in?"
+        mark = "in window" if n in _PRIORITY else "in?"
         print(f"  {mark:10s} r{first[n]:02d} {n}")
 
 
