@@ -454,64 +454,88 @@ def register(name: str, sql: str | None = None, desc: str = ""):
 # the slot goes to the depth backlog.  Every incoming entry
 # re-verified green via tools/check_oracle.py before the swap
 # (two batches, 0 failures each).
+# Round-15 rotation (VERDICT r14 ask #1): the depth program's final
+# single-verdict sweep — after r14 exactly 26 entries (all r13
+# first-timers) have one verdict; ALL 26 take slots this round, so
+# the single-verdict count lands at 0 and every registry entry has
+# >=2 driver verdicts with >=1 under the strict bit-level canon.
+# Out: the 48 r14-window entries (each now double-verdicted, their
+# second verdict strict; the depth adjudication — oldest thinnest
+# evidence outranks consecutive-greens — per the r13/r14 precedent)
+# including chisq_status_segment (green r13+r14, eligible by the
+# plain rule too).  The 22 remaining slots are FILLERS drawn from the
+# two-verdict backlog ranked by oldest LATEST verdict (the next depth
+# rung: third verdicts on the stalest evidence): the seven r02+r03
+# entries, the six r04+r05 entries, and the first nine (alphabetical)
+# of the r05+r06 tier.  Co-edit adjudication for the round-15 pair
+# kernel edit (_cell_pairs_over_tau block_eff divisor n*8 -> n*10 +
+# in-place keep mask, ADVICE r14): oracle untouched, and the cap
+# binds only for cells far larger than any gate corpus produces, so
+# executed gate-SF paths are bit-identical (verified: fresh
+# check_oracle green on semdedup_som_cells + semdedup_grid_cosine
+# after the edit) — the lockstep-co-edit hold rule does not trigger
+# and the slots follow the depth ranking.  Every incoming entry
+# re-verified green via tools/check_oracle.py before the swap
+# (four batches, 0 failures each).
 _PRIORITY: tuple[str, ...] = (
     # continuity keepers (unchanged since r12): the SOM flagship and a
     # representative TPC-H row stay driver-visible every round
     "som_cluster_summary",
     "q1_pricing_summary",
-    # r14 incoming, oldest-first: 24 r01-era entries whose only verdict
-    # predates the strict canon
-    "pivot_event_matrix",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q16_supplier_variety",
-    "q18_large_orders",
-    "q19_disjunctive_filter",
-    "q22_dormant_rich_customers",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_revenue_forecast",
-    "q7_nation_volume",
-    "q9_product_profit",
-    "range_join_price_bands",
-    "rollup_sales",
-    "sample_hash_deterministic",
-    "set_except_nations",
-    "set_intersect_nations",
-    "set_union_partners",
-    "sort_topk_lineitems",
-    "string_funcs_parts",
-    "unpivot_part_metrics",
-    "window_lag_lead",
-    "window_trailing_7d",
-    # r14 incoming: the 23 r12 first-timers (one strict green each)
-    "abtest_two_proportion",
-    "agg_bool_countif",
-    "agg_regr_price_qty",
-    "arrow_batch_charcount",
-    "centroid_embeddings_by_label",
-    "cep_click_purchase_no_error",
-    "char_entropy_quality",
-    "interpolate_linear_revenue",
-    "lateral_top2_customers",
-    "observed_corpus_metrics",
-    "pack_sequences_cumsum",
-    "redact_blocklist_terms",
-    "robust_mad_event_values",
-    "sample_stratified_hash",
-    "sample_stratified_topk",
-    "sink_compaction_rebalance",
-    "sink_partitioned_pruned_scan",
-    "som_outlier_audit",
-    "source_csv_corrupt_records",
-    "source_orc_events",
-    "source_parquet_schema_merge",
-    "try_arith_orders",
-    "udtf_ngram_counts",
-    # r14 incoming: first of the 27 r13 first-timers (the rest queue
-    # for r15 — single-verdict count after this round: 26)
-    "chisq_status_segment",
+    # r15 incoming: all 26 remaining single-verdict entries (r13
+    # first-timers) — second verdict, strict canon
+    "chunk_overlap_plan",
+    "delete_tombstone_audit",
+    "drift_tv_distance",
+    "embedding_norm_audit",
+    "forecast_seasonal_baseline",
+    "incremental_agg_merge",
+    "interval_coverage_users",
+    "join_hint_shuffle_hash",
+    "mrr_prefix_rank",
+    "null_skew_split_join",
+    "param_sql_part_stats",
+    "path_trigrams_events",
+    "posexplode_tokens",
+    "profile_table_columns",
+    "seasonality_profile_events",
+    "segment_algebra_users",
+    "session_bounce_rollup",
+    "share_of_parent_revenue",
+    "sla_ship_latency_percentiles",
+    "source_binaryfile_blobs",
+    "streak_longest_active",
+    "text_bpe_token_stats",
+    "text_lang_profile",
+    "twa_intraday_value",
+    "word_freq_topk",
+    "wow_revenue_growth",
+    # r15 fillers: two-verdict entries with the oldest latest verdict,
+    # oldest first — the r02+r03 seven
+    "regexp_extract_parts",
+    "set_except_all_qty",
+    "set_intersect_all_qty",
+    "source_json_orders",
+    "stream_foreachbatch_sink",
+    "window_rank_dense",
+    "window_running_total",
+    # the r04+r05 six
+    "grouped_map_ols_per_source",
+    "som_transform_integrity",
+    "stream_static_enrich",
+    "upsert_scd2_orders",
+    "variant_json_events",
+    "window_analytic_suite",
+    # first nine (alphabetical) of the r05+r06 tier
+    "auc_urgent_order_price",
+    "basket_lift_brand_pairs",
+    "bitmap_distinct_users",
+    "constraint_check_orders",
+    "corpus_mixture_weights",
+    "countmin_heavy_hitters",
+    "decayed_activity_counts",
+    "funnel_conversion_events",
+    "histogram_equidepth_prices",
 )
 
 
