@@ -242,8 +242,55 @@ def main() -> None:
         "jvm_sec": min(canary_pre["jvm_sec"], canary_post["jvm_sec"]),
         "udf_sec": min(canary_pre["udf_sec"], canary_post["udf_sec"]),
     }
+    # VERDICT r14 ask #3: per-LEG canary attribution.  The r14 finding
+    # (PERF_DIAG_r14.md §3b): on this host the jvm-codegen and
+    # pandas_udf canary legs move INDEPENDENTLY — a session's max-of-
+    # legs ratio can read >=1.3x while the leg that dominates a given
+    # query's profile sits at 1.0x.  Tag every bench entry with its
+    # dominant leg so mood attribution uses the MATCHING leg per query:
+    #   - "udf"  if the entry's audited plan crosses into Python
+    #     (python_eval_nodes > 0 in PLAN_AUDIT.json fingerprints), or —
+    #     for entries whose returned-DF plan is python-free but whose
+    #     cost runs at build time (stream drains, embedded fits) — its
+    #     registration source references a pandas/Python crossing
+    #   - "jvm"  otherwise (whole-stage-codegen bound)
+    # The tag is an approximation fixed by the audited plan, not a
+    # measured cost split; leg_source records which rule fired.
+    leg_map: dict[str, str] = {}
+    leg_source: dict[str, str] = {}
+    pa_path = os.path.join(repo_dir, "PLAN_AUDIT.json")
+    if os.path.exists(pa_path):
+        with open(pa_path) as f:
+            _fps = json.load(f).get("fingerprints", {})
+        for k, fp in _fps.items():
+            if isinstance(fp, dict) and "python_eval_nodes" in fp:
+                leg_map[k] = "udf" if fp["python_eval_nodes"] > 0 else "jvm"
+                leg_source[k] = "plan"
+    import inspect
+    import re as _re
+
+    _py_mark = _re.compile(
+        r"pandas_udf|applyInPandas|mapInPandas|mapPartitions|"
+        r"applyInPandasWithState|transformWithStateInPandas|udtf|UDTF"
+    )
+    for k, fn in queries.items():
+        if leg_map.get(k) != "jvm":
+            continue  # plan already says udf, or no plan info at all
+        try:
+            if _py_mark.search(inspect.getsource(fn)):
+                leg_map[k] = "udf"
+                leg_source[k] = "source-scan"
+        except (OSError, TypeError):
+            pass
+    # bench-only workload: the SOM fit's BMU/update kernel runs in
+    # Python workers (mapPartitions NumPy blocks + pandas_udf inference)
+    leg_map["som_main_workload"] = "udf"
+    leg_source["som_main_workload"] = "static"
+
     canary_ratio = None
+    leg_ratios: dict[str, float] = {}
     host_mood: dict[str, dict] = {}
+    leg_attribution: dict[str, dict] = {}
     if SF_DIR.rstrip("/").endswith("sf0.1"):
         cb = ext.setdefault(
             "__host_canary__",
@@ -253,29 +300,41 @@ def main() -> None:
         cb["udf_best"] = min(cb["udf_best"], canary_session["udf_sec"])
         with open(os.path.join(repo_dir, "BASELINE_QUERIES_EXT.json"), "w") as f:
             json.dump(ext, f, indent=1, sort_keys=True)
-        canary_ratio = round(
-            max(
-                canary_session["jvm_sec"] / cb["jvm_best"],
-                canary_session["udf_sec"] / cb["udf_best"],
-            ),
-            3,
-        )
+        leg_ratios = {
+            "jvm": round(canary_session["jvm_sec"] / cb["jvm_best"], 3),
+            "udf": round(canary_session["udf_sec"] / cb["udf_best"], 3),
+        }
+        canary_ratio = max(leg_ratios.values())
         for k, v in timings.items():
             frozen = base_q.get(k)
             if frozen is None:
                 frozen = ext.get(k, {}).get("best_sec") if isinstance(ext.get(k), dict) else None
-            if not frozen or v <= 0:
+            if not frozen or v <= 0 or k == "som_main_iters":
                 continue
             elev = v / frozen
-            if 1.1 < elev <= canary_ratio:
+            leg = leg_map.get(k, "jvm")
+            leg_ratio = leg_ratios[leg]
+            # the number a reader wants per query: elevation over the
+            # frozen reference with the MATCHING leg's host drift
+            # divided out — ~1.0 means "the host explains it"
+            leg_attribution[k] = {
+                "leg": leg,
+                "leg_source": leg_source.get(k, "default"),
+                "elevation_x": round(elev, 3),
+                "leg_canary_ratio": leg_ratio,
+                "ratio_vs_best_matching_leg": round(elev / leg_ratio, 3),
+            }
+            if 1.1 < elev <= leg_ratio:
                 # a heuristic BOUND, not a proof: the elevation is
-                # within what the session's canary drift explains, but
-                # a genuine regression smaller than the host drift
-                # would carry the same label — hence "candidate", with
-                # the canary ratio recorded alongside for the reader
+                # within what the MATCHING leg's drift explains, but a
+                # genuine regression smaller than the host drift would
+                # carry the same label — hence "candidate", with the
+                # leg and its ratio recorded alongside for the reader
                 host_mood[k] = {
                     "elevation_x": round(elev, 2),
                     "attribution": "host_mood_candidate",
+                    "leg": leg,
+                    "leg_canary_ratio": leg_ratio,
                     "session_canary_ratio": canary_ratio,
                 }
 
@@ -297,7 +356,17 @@ def main() -> None:
             # record (max over the two canary workloads); None when
             # not at the canonical sf0.1 scale
             "session_ratio_vs_best": canary_ratio,
+            # per-leg ratios (jvm codegen / pandas_udf round-trip) vs
+            # each leg's own frozen best — the r14 finding: the legs
+            # move independently, so per-query attribution should use
+            # the leg matching the query's profile
+            "leg_ratios_vs_best": leg_ratios or None,
         },
+        # per-entry dominant-leg attribution (VERDICT r14 ask #3):
+        # elevation over the frozen reference with the matching leg's
+        # host drift divided out — ratio_vs_best_matching_leg ~1.0
+        # means the host explains the entry's elevation mechanically
+        "leg_attribution": leg_attribution,
         # queries whose elevation over their frozen best is >1.1x but
         # <= the session canary ratio — CANDIDATE host-speed
         # attributions (a heuristic bound: each carries the canary
@@ -325,6 +394,7 @@ def main() -> None:
     # line carries just their count so the driver's 2000-char tail
     # buffer never truncates the JSON
     compact.pop("notes", None)
+    compact.pop("leg_attribution", None)  # full map in the detail file
     compact["host_mood_annotations"] = len(host_mood)
     budget = 1800
     kept: dict[str, float] = {}

@@ -101,6 +101,19 @@ def fingerprint(plan: str) -> dict[str, int]:
         # keys present in both rounds, so the rename doesn't spray
         # spurious diffs)
         "sort_ops": nodes(r"Sort(?!MergeJoin|Aggregate)"),
+        # Python-crossing nodes (Arrow-batched pandas paths + the two
+        # sanctioned row-at-a-time UDTF surfaces): >0 means the query's
+        # hot path leaves the JVM, so host-mood attribution should use
+        # the pandas_udf canary leg, not the jvm-codegen one (the
+        # r14 two-sided canary finding, operationalized in bench.py —
+        # VERDICT r14 ask #3).  New key: the differ compares only keys
+        # present in both rounds, so adding it sprays no diffs.
+        "python_eval_nodes": nodes(
+            r"(ArrowEvalPython|BatchEvalPython|MapInPandas|"
+            r"PythonMapInArrow|FlatMapGroupsInPandas|"
+            r"FlatMapCoGroupsInPandas|FlatMapGroupsInPandasWithState|"
+            r"TransformWithStateInPandas)"
+        ),
     }
 
 
