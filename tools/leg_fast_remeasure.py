@@ -22,7 +22,13 @@ Protocol per attempt:
    fast state is transient, minutes-scale).
 
 Usage: PYTHONPATH=/root/repo python tools/leg_fast_remeasure.py \
-           [--leg jvm|udf] [--gate 1.15] name [name ...]
+           [--leg jvm|udf] [--gate 1.15] [--poll N] [--poll-gap SEC] \
+           name [name ...]
+
+``--poll N`` keeps the warmed session alive and re-reads the leg
+canary up to N more times, SEC (default 45) apart, measuring the
+moment the gate passes — the fast state is transient and a cold
+session samples only its own ~30 s startup window.
 Writes one JSON line; results go into PERF_DIAG_r15.md.
 """
 
@@ -50,6 +56,16 @@ def main() -> int:
     if "--gate" in argv:
         i = argv.index("--gate")
         gate = float(argv[i + 1])
+        del argv[i : i + 2]
+    polls = 0
+    poll_gap = 45.0
+    if "--poll" in argv:
+        i = argv.index("--poll")
+        polls = int(argv[i + 1])
+        del argv[i : i + 2]
+    if "--poll-gap" in argv:
+        i = argv.index("--poll-gap")
+        poll_gap = float(argv[i + 1])
         del argv[i : i + 2]
     names = argv
     if not names:
@@ -99,8 +115,25 @@ def main() -> int:
 
     canary_fn = jvm_run if leg == "jvm" else udf_run
     canary_fn()  # untimed: first-touch codegen is not host speed
+
+    # --poll N: the fast state is transient (minutes-scale) and a cold
+    # session samples a single ~30 s window at startup — eight cold
+    # attempts in r15 never landed on it.  Polling keeps ONE warmed
+    # session alive and re-reads the leg canary every --poll-gap
+    # seconds (idle between reads, so the probe itself does not hold
+    # the host busy), measuring the instant the gate passes.  The
+    # canary is still read in the same session immediately before the
+    # entries, so the measurement protocol is unchanged.
     leg_sec = min(_timed(canary_fn) for _ in range(3))
     leg_ratio = round(leg_sec / leg_best, 3)
+    polls_left = polls
+    poll_history = [leg_ratio]
+    while leg_ratio > gate and polls_left > 0:
+        polls_left -= 1
+        time.sleep(poll_gap)
+        leg_sec = min(_timed(canary_fn) for _ in range(3))
+        leg_ratio = round(leg_sec / leg_best, 3)
+        poll_history.append(leg_ratio)
 
     out = {
         "leg": leg,
@@ -108,6 +141,8 @@ def main() -> int:
         "leg_best": leg_best,
         "leg_ratio": leg_ratio,
         "gate": gate,
+        "polls_used": len(poll_history) - 1,
+        "poll_history": poll_history,
         "sf_dir": SF_DIR,
         "entries": {},
     }
