@@ -85,13 +85,31 @@ def bm25_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     window partition anywhere."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
     toks = docs.select("doc_id", F.explode(word_tokens(F.col("text"))).alias("term"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dlen"))
-    stats = dl.agg(F.count("*").alias("n"), F.avg("dlen").alias("avgdl"))
-    tf = (
-        toks.where(F.col("term").isin(*_BM25_QUERY))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("f"))
+    # opt r15 (guide §2.3 "aggregate before you shuffle" / §2.4): dl and
+    # tf previously each re-ran the corpus explode (dl twice more via
+    # stats and the scored join).  ONE explode + ONE per-doc aggregate
+    # now carries dlen AND the per-query-term counts (the query is a
+    # fixed, tiny term list, so the wide aggregate is |query|+1 columns);
+    # tf falls out as a stack over the materialized per-doc row.
+    # Interleaved A/B at sf0.1: 0.73 s vs 1.12 s min-of-5, results
+    # bit-equal.  Bounded at one row per doc.
+    per_doc = (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("dlen"),
+            *[
+                F.sum(F.when(F.col("term") == w, 1).otherwise(0)).alias(f"f{i}")
+                for i, w in enumerate(_BM25_QUERY)
+            ],
+        )
+        .localCheckpoint(eager=True)
     )
+    dl = per_doc.select("doc_id", "dlen")
+    stats = dl.agg(F.count("*").alias("n"), F.avg("dlen").alias("avgdl"))
+    _stack = "stack({}, {}) as (term, f)".format(
+        len(_BM25_QUERY), ", ".join(f"'{w}', f{i}" for i, w in enumerate(_BM25_QUERY))
+    )
+    tf = per_doc.selectExpr("doc_id", _stack).where(F.col("f") > 0)
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
     denom = F.col("f") + _BM25_K1 * (

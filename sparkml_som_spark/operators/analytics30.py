@@ -317,7 +317,11 @@ def recs_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct(),
         "u",
         "b",
-    )
+        # ub feeds n_u and both sides of the pair self-join — three
+        # replays of the lineitem-orders join + distinct + cap window
+        # without materialization (opt r15, guide §2.4).  Bounded at
+        # _PAIR_CAP rows per customer.
+    ).localCheckpoint(eager=True)
     n_u = ub.groupBy("b").agg(F.count(F.lit(1)).alias("n"))
     x, y = ub.alias("x"), ub.alias("y")
     co = (

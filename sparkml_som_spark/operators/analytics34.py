@@ -296,6 +296,11 @@ def sample_dedup_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.join(dropped, "vec_id", "left")
         .where(F.col("is_dropped").isNull())
         .select("vec_id", "label", "cx", "cy")
+        # kept feeds the sampler AND the per-label rollup; without
+        # materialization each replays the within-cell cosine self-join
+        # that produces `dropped` — the entry's one expensive subtree
+        # (opt r15, guide §2.4).  Bounded at n_vectors rows, 4 columns.
+        .localCheckpoint(eager=True)
     )
     # per-cell draw through the salted two-phase ranking (the
     # `topk_per_query` discipline): phase 1 keeps the k md5-smallest

@@ -207,6 +207,12 @@ def basket_lift_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
         .distinct()
+        # ob feeds FOUR consumers (n, s, and both sides of the pair
+        # self-join); without materialization each replays the
+        # lineitem-join + distinct (opt r15, guide §2.4).  Eager local
+        # checkpoint = one compute + bounded executor-resident blocks
+        # (distinct (order, brand) is far smaller than lineitem).
+        .localCheckpoint(eager=True)
     )
     n = ob.agg(F.countDistinct("o").alias("n_orders"))
     s = ob.groupBy("b").agg(F.count(F.lit(1)).alias("cnt"))

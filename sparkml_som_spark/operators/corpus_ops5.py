@@ -290,7 +290,12 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     are affected.  Candidate generation reuses the DF-capped
     positional-gram index — the one corpus-scale join in the plan."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    pairs = substring_match_pairs(docs)
+    # pairs feeds BOTH union branches below with no shared exchange
+    # boundary between them, so without materialization the whole
+    # positional-gram index join runs twice (opt r15, guide §2.4;
+    # interleaved A/B at sf0.1: 2.43 s vs 2.69 s min-of-5).  Bounded at
+    # the candidate-match count the DF cap already pins.
+    pairs = substring_match_pairs(docs).localCheckpoint(eager=True)
     starts = (
         pairs.select(F.col("a_id").alias("doc_id"), F.col("i").alias("s"))
         .unionByName(pairs.select(F.col("b_id").alias("doc_id"), F.col("j").alias("s")))

@@ -740,7 +740,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         bit = F.when(F.col(f"v{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
         term = F.shiftleft(bit, i)
         fp_expr = term if fp_expr is None else fp_expr.bitwiseXOR(term)
-    fps = bit_votes.select("doc_id", fp_expr.alias("fp"))
+    # fps feeds both sides of the banded self-join; without
+    # materialization each side replays the token explode + the two
+    # aggregation shuffles (60 bit-vote sums) — the entry's dominant
+    # cost (opt r15, guide §2.4).  Bounded at one 2-column row per doc.
+    fps = bit_votes.select("doc_id", fp_expr.alias("fp")).localCheckpoint(eager=True)
 
     bands = [
         F.shiftright(F.col("fp"), b * _SIMHASH_BAND_BITS)
