@@ -221,7 +221,11 @@ def quality_char_bigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     )
-    vocab = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    # vocab is consumed both as a broadcast (scoring join) and via the
+    # total aggregate — unshareable exchanges, so the bigram explode +
+    # count would run twice (opt r15, guide §2.4; A/B at sf0.1: 0.73 s
+    # vs 0.86 s min-of-4).  Bounded at ~|charset|^2 rows.
+    vocab = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=True)
     total = vocab.agg(F.sum("c").alias("n"))
     scored = bg.join(F.broadcast(vocab), "b").crossJoin(F.broadcast(total))
     return scored.groupBy("source").agg(

@@ -247,7 +247,12 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket_counts = feats.groupBy("b").agg(
         F.count(F.when(is_t, 1)).alias("ct"),
         F.count(F.when(~is_t, 1)).alias("cr"),
-    )
+        # consumed BOTH as a broadcast (scoring join) and via the totals
+        # aggregate — a broadcast exchange and a shuffle exchange cannot
+        # be shared, so the whole feature pass would run twice (opt r15,
+        # guide §2.4; A/B at sf0.1: 0.72 s vs 0.83 s min-of-4).  Bounded
+        # at _DSIR_BUCKETS rows.
+    ).localCheckpoint(eager=True)
     totals = bucket_counts.agg(
         F.sum("ct").alias("tott"), F.sum("cr").alias("totr")
     )
