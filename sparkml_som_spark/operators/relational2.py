@@ -87,15 +87,20 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same shape a 100 TB pipeline uses to audit its sketch-based
     dashboards against a periodic exact pass."""
     ev = load_table(spark, sf_dir, "events")
+    # opt r15: pre-deduplicate once, then run BOTH sides of the guard
+    # over the distinct (event_type, user_id) pairs.  HLL insertion is
+    # idempotent (max-per-register), so the sketch state — and the
+    # estimate — is bit-identical over the deduped set, while the exact
+    # count becomes a plain count(*): this drops the mixed
+    # distinct/non-distinct aggregate's Expand machinery (interleaved
+    # A/B at sf0.1: 0.80 s vs 1.88 s min-of-5, equal results).
+    dd = ev.select("event_type", "user_id").distinct()
     approx_ok = (
-        F.abs(
-            F.approx_count_distinct("user_id", rsd=0.01)
-            - F.countDistinct("user_id")
-        )
-        <= 0.05 * F.countDistinct("user_id")
+        F.abs(F.approx_count_distinct("user_id", rsd=0.01) - F.count(F.lit(1)))
+        <= 0.05 * F.count(F.lit(1))
     )
-    return ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("exact_users"),
+    return dd.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_users"),
         approx_ok.alias("approx_ok"),
     )
 
