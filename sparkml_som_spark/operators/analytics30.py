@@ -242,6 +242,14 @@ def community_lpa_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = (
             labels.join(best, "node", "left")
             .select("node", F.coalesce("new_lab", "lab").alias("lab"))
+            # opt r15: labels feeds TWO consumers next round (the best
+            # join and the carry left-join), so without a per-round
+            # materialization the plan doubles every round — 2^rounds
+            # replays of round 1 (guide §2.4; interleaved A/B at sf0.1:
+            # 1.13 s vs 1.42 s min-of-4).  Lazy checkpoint: it
+            # materializes inside the next round's first action.
+            # Bounded at one row per node.
+            .localCheckpoint(eager=False)
         )
     return (
         labels.groupBy(F.col("lab").alias("community"))

@@ -454,6 +454,11 @@ def reachability_3hop_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
         )
         .agg(F.count("*").alias("w"))
+        # opt r15: e0 is consumed twice — the stats collect below AND the
+        # strong-edge filter — so the corpus-scale join+aggregate ran
+        # twice (guide §2.4; interleaved A/B at sf0.1: 1.56 s vs 1.80 s
+        # min-of-4).  Bounded at nations^2 rows.
+        .localCheckpoint(eager=True)
     )
     stats = e0.agg(F.count("*").alias("n_e"), F.sum("w").alias("tot")).collect()[0]
     n_e, tot = stats["n_e"], stats["tot"]

@@ -1118,9 +1118,19 @@ def dedup_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("a_id"), F.col("label").alias("b_id")
     )
     merged = star.unionByName(delta_edges)
-    sym = merged.select(
-        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
-    ).union(merged.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+    sym = (
+        merged.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .union(merged.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+        # opt r15: min_label_components re-reads `sym` EVERY propagation
+        # round (join + init), and both union branches sit above the
+        # delta-verification pipeline with no shared exchange — without
+        # materialization the banding/probe/verify pipeline re-runs
+        # ~2x per round (guide §2.4; interleaved A/B at sf0.1: 1.73 s
+        # vs 2.62 s min-of-4).  Bounded at 2x the merged edge count.
+        # (dedup_connected_components needs no such checkpoint: its sym
+        # is a scan of the persisted edge-set parquet.)
+        .localCheckpoint(eager=True)
+    )
     labels = min_label_components(sym)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
