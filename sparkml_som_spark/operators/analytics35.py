@@ -850,12 +850,19 @@ def stream_dedup_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFram
 
     def admit(batch_df, batch_id):
         sp = batch_df.sparkSession
-        epochs = [
-            r["epoch"]
-            for r in batch_df.select("epoch").distinct().orderBy("epoch").collect()
-        ]
-        for e in epochs:
-            grp = batch_df.where(F.col("epoch") == e).drop("epoch")
+        if os.environ.get("SPARK_GRAFT_STREAM_R15_LEGACY") == "1":
+            epochs = [
+                r["epoch"]
+                for r in batch_df.select("epoch").distinct().orderBy("epoch").collect()
+            ]
+            groups = [batch_df.where(F.col("epoch") == e).drop("epoch") for e in epochs]
+        else:
+            # One epoch per micro-batch by construction (one file per epoch,
+            # maxFilesPerTrigger=1, AvailableNow honors the cap) — the
+            # per-batch epoch distinct-collect was a pure orchestration job
+            # (see stream_minhash_dedup_guard) and is dropped.
+            groups = [batch_df.drop("epoch")]
+        for grp in groups:
             if os.path.isdir(probe_dir):
                 # probe against the CAPPED per-cell state, never the full
                 # admitted corpus: pairs per cell are bounded at
@@ -876,7 +883,6 @@ def stream_dedup_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFram
             else:
                 admitted = grp
             admitted = admitted.localCheckpoint(eager=True)
-            admitted.write.mode("append").parquet(admitted_dir)
             # probe-state merge: per-cell hash-bottom-CAP of (old capped
             # state + batch admissions) — merge-invariant, so it equals
             # the oracle's batch recompute over all prior admissions;
@@ -889,10 +895,40 @@ def stream_dedup_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFram
             ppool = admitted.select("vec_id", "label", "v", "cx", "cy")
             if os.path.isdir(probe_dir):
                 ppool = ppool.unionByName(sp.read.parquet(probe_dir))
-            new_probe = hash_bottom_k(
-                ppool, ("cx", "cy"), _SADM_STATE_CAP
-            ).localCheckpoint(eager=True)
-            new_probe.write.mode("overwrite").parquet(probe_dir)
+            new_probe = hash_bottom_k(ppool, ("cx", "cy"), _SADM_STATE_CAP)
+            probe_tmp = probe_dir + "_tmp"
+
+            def _append_admitted(admitted=admitted):
+                admitted.write.mode("append").parquet(admitted_dir)
+
+            def _write_probe(new_probe=new_probe):
+                # write the merged state to a sibling tmp dir and swap
+                # below: the plan reads the OLD probe_dir while the write
+                # targets a different one, so the eager checkpoint that
+                # existed only to break the read-then-overwrite cycle is
+                # gone — one fewer job + materialization per epoch
+                shutil.rmtree(probe_tmp, ignore_errors=True)
+                new_probe.write.mode("overwrite").parquet(probe_tmp)
+
+            if os.environ.get("SPARK_GRAFT_STREAM_R15_LEGACY") == "1":
+                _append_admitted()
+                new_probe = new_probe.localCheckpoint(eager=True)
+                new_probe.write.mode("overwrite").parquet(probe_dir)
+            else:
+                # the corpus append and the probe-state merge are
+                # independent once `admitted` is materialized — run them
+                # as two concurrent driver jobs (guide §2.6)
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    futs = [
+                        pool.submit(_append_admitted),
+                        pool.submit(_write_probe),
+                    ]
+                    for f in futs:
+                        f.result()
+                shutil.rmtree(probe_dir, ignore_errors=True)
+                os.rename(probe_tmp, probe_dir)
 
     q = stream.writeStream.foreachBatch(admit).trigger(availableNow=True).start()
     try:

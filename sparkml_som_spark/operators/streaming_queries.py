@@ -931,9 +931,22 @@ def stream_minhash_dedup_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def guard(batch_df, batch_id):
         sp = batch_df.sparkSession
-        epochs = [r["epoch"] for r in batch_df.select("epoch").distinct().orderBy("epoch").collect()]
-        for e in epochs:
-            grp = batch_df.where(F.col("epoch") == e).select("doc_id", "source", "text")
+        if os.environ.get("SPARK_GRAFT_STREAM_R15_LEGACY") == "1":
+            epochs = [r["epoch"] for r in batch_df.select("epoch").distinct().orderBy("epoch").collect()]
+            groups = [
+                batch_df.where(F.col("epoch") == e).select("doc_id", "source", "text")
+                for e in epochs
+            ]
+        else:
+            # Each micro-batch is exactly ONE epoch: the source dir is built
+            # above with one file per epoch and maxFilesPerTrigger=1, which
+            # Trigger.AvailableNow honors (4 files -> 4 single-file batches
+            # in pinned-mtime order).  The per-batch epoch distinct-collect
+            # was therefore a pure orchestration job — the r15 drain
+            # decomposition measured it at ~+0.25 s over a no-op drain —
+            # and is dropped; the whole batch is one epoch group.
+            groups = [batch_df.select("doc_id", "source", "text")]
+        for grp in groups:
             # band the batch ONCE; the same rows serve the probe join
             # and (filtered to admissions) the index append — the
             # admitted corpus is never re-shingled.  LAZY checkpoint:
@@ -982,10 +995,36 @@ def stream_minhash_dedup_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
             # lineage must be truncated before the append (this job
             # also materializes bb's lazy checkpoint above)
             admitted = admitted.localCheckpoint(eager=True)
-            admitted.write.mode("append").parquet(admitted_dir)
-            bb.join(admitted.select("doc_id"), "doc_id", "semi").write.mode(
-                "append"
-            ).parquet(band_dir)
+
+            def _append_admitted(admitted=admitted):
+                admitted.write.mode("append").parquet(admitted_dir)
+
+            def _append_band(admitted=admitted, bb=bb):
+                bb.join(admitted.select("doc_id"), "doc_id", "semi").write.mode(
+                    "append"
+                ).parquet(band_dir)
+
+            if os.environ.get("SPARK_GRAFT_STREAM_R15_LEGACY") == "1":
+                _append_admitted()
+                _append_band()
+            else:
+                # Both state appends read only materialized blocks (the
+                # admitted checkpoint; bb's lazy checkpoint, forced by the
+                # eager job above in probe epochs and by whichever append
+                # touches it first in epoch 0), so they are independent
+                # jobs — submit them from two driver threads (guide §2.6)
+                # so the second append's scheduling does not wait for the
+                # first's tail.  Job descriptions are thread-local, so the
+                # batch stays correctly labelled.
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    futs = [
+                        pool.submit(_append_admitted),
+                        pool.submit(_append_band),
+                    ]
+                    for f in futs:
+                        f.result()
 
     q = stream.writeStream.foreachBatch(guard).trigger(availableNow=True).start()
     try:
