@@ -46,7 +46,7 @@ from sparkml_som_spark.operators.analytics28 import (
     _BM25_QUERY,
     _BM25_TERMS_SQL,
 )
-from sparkml_som_spark.operators.registry import register
+from sparkml_som_spark.operators.registry import materialize_reused, register
 from sparkml_som_spark.sources import load_table
 
 # ---------------------------------------------------------------------------
@@ -252,7 +252,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         # be shared, so the whole feature pass would run twice (opt r15,
         # guide §2.4; A/B at sf0.1: 0.72 s vs 0.83 s min-of-4).  Bounded
         # at _DSIR_BUCKETS rows.
-    ).localCheckpoint(eager=True)
+    ).transform(materialize_reused)
     totals = bucket_counts.agg(
         F.sum("ct").alias("tott"), F.sum("cr").alias("totr")
     )
@@ -501,7 +501,7 @@ def _bm25_scores(docs: DataFrame) -> DataFrame:
                 for i, w in enumerate(_BM25_QUERY)
             ],
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize_reused)
     )
     dl = per_doc.select("doc_id", "dlen")
     stats = dl.agg(F.count("*").alias("n"), F.avg("dlen").alias("avgdl"))

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from sparkml_som_spark.functions import word_tokens
 from sparkml_som_spark.operators.dedup import _SSD_CTE_PREFIX, _SSD_L, substring_match_pairs
-from sparkml_som_spark.operators.registry import register
+from sparkml_som_spark.operators.registry import materialize_reused, register
 from sparkml_som_spark.sources import load_table
 
 # --------------------------------------------------------------------------
@@ -295,7 +295,7 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # positional-gram index join runs twice (opt r15, guide §2.4;
     # interleaved A/B at sf0.1: 2.43 s vs 2.69 s min-of-5).  Bounded at
     # the candidate-match count the DF cap already pins.
-    pairs = substring_match_pairs(docs).localCheckpoint(eager=True)
+    pairs = materialize_reused(substring_match_pairs(docs))
     starts = (
         pairs.select(F.col("a_id").alias("doc_id"), F.col("i").alias("s"))
         .unionByName(pairs.select(F.col("b_id").alias("doc_id"), F.col("j").alias("s")))

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sparkml_som_spark.functions import word_grams_positional, word_shingles, word_tokens
-from sparkml_som_spark.operators.registry import register
+from sparkml_som_spark.operators.registry import materialize_reused, register
 from sparkml_som_spark.sources import load_table
 
 
@@ -444,6 +444,15 @@ def substring_match_pairs(
         .select("g")
     )
     fg = grams.join(df_ok, "g")
+    # r15 measured FLAT at sf0.1 (runtime exchange reuse covers the two
+    # self-join sides); VERDICT r15 ask #8 says re-test at ~10x where the
+    # recompute-vs-barrier trade may flip — env-gated so the scale probe
+    # can A/B it without a code fork.  Default off (the measured local
+    # winner).
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_SUBSTR_CKPT") == "1":
+        fg = materialize_reused(fg)
     return (
         fg.select(F.col("doc_id").alias("a_id"), F.col("pos").alias("i"), "g")
         .join(
@@ -744,7 +753,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialization each side replays the token explode + the two
     # aggregation shuffles (60 bit-vote sums) — the entry's dominant
     # cost (opt r15, guide §2.4).  Bounded at one 2-column row per doc.
-    fps = bit_votes.select("doc_id", fp_expr.alias("fp")).localCheckpoint(eager=True)
+    fps = materialize_reused(bit_votes.select("doc_id", fp_expr.alias("fp")))
 
     bands = [
         F.shiftright(F.col("fp"), b * _SIMHASH_BAND_BITS)
@@ -1129,7 +1138,7 @@ def dedup_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         # vs 2.62 s min-of-4).  Bounded at 2x the merged edge count.
         # (dedup_connected_components needs no such checkpoint: its sym
         # is a scan of the persisted edge-set parquet.)
-        .localCheckpoint(eager=True)
+        .transform(materialize_reused)
     )
     labels = min_label_components(sym)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
@@ -1177,7 +1186,7 @@ def min_label_components(sym: DataFrame, stats: dict | None = None) -> DataFrame
         sym.groupBy(F.col("src").alias("node"))
         .agg(F.min("dst").alias("nbr_min"))
         .select("node", F.least(F.col("node"), F.col("nbr_min")).alias("label"))
-        .localCheckpoint(eager=True)
+        .transform(lambda d: materialize_reused(d, require_truncation=True))
     )
     rounds = 0
     while True:
@@ -1215,7 +1224,7 @@ def min_label_components(sym: DataFrame, stats: dict | None = None) -> DataFrame
         # carry the previous label through the checkpoint; the LAZY
         # checkpoint + count below is one job that both materializes
         # this round's labels and answers convergence
-        stepped = stepped.localCheckpoint(eager=False)
+        stepped = materialize_reused(stepped, eager=False, require_truncation=True)
         changed = stepped.where(F.col("label") != F.col("prev")).count()
         labels = stepped.select("node", "label")
         if changed == 0:

@@ -95,12 +95,17 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct/non-distinct aggregate's Expand machinery (interleaved
     # A/B at sf0.1: 0.80 s vs 1.88 s min-of-5, equal results).
     dd = ev.select("event_type", "user_id").distinct()
+    # count("user_id"), not count(*): over the distinct pairs they differ
+    # only on a (event_type, NULL) row, which COUNT(DISTINCT user_id) —
+    # the pre-r15 form AND the oracle — excludes.  Shipped data has no
+    # NULL user_ids (bit-identical today); this keeps the NULL semantics
+    # aligned for free (ADVICE r15 #1).
     approx_ok = (
-        F.abs(F.approx_count_distinct("user_id", rsd=0.01) - F.count(F.lit(1)))
-        <= 0.05 * F.count(F.lit(1))
+        F.abs(F.approx_count_distinct("user_id", rsd=0.01) - F.count("user_id"))
+        <= 0.05 * F.count("user_id")
     )
     return dd.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("exact_users"),
+        F.count("user_id").alias("exact_users"),
         approx_ok.alias("approx_ok"),
     )
 

@@ -37,6 +37,7 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--noop", action="store_true")
     ap.add_argument("--no-plan", action="store_true")
+    ap.add_argument("--round", default="r16", help="plans/<round>/ output dir")
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
@@ -59,7 +60,7 @@ def main() -> None:
     spark.range(1024).repartition(32).select(_warm(F.col("id").cast("double"))).count()
 
     queries = entrymod.queries()
-    plans_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15")
+    plans_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", args.round)
     os.makedirs(plans_dir, exist_ok=True)
 
     for name in args.names:

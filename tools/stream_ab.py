@@ -28,6 +28,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="+")
     ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument(
+        "--env-var",
+        default="SPARK_GRAFT_STREAM_R15_LEGACY",
+        help="flag env selecting the OLD variant when =1 "
+        "(r16: SPARK_GRAFT_STREAM_R16_PREV for r15-vs-fused)",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
@@ -55,7 +61,7 @@ def main() -> None:
 
     for name in args.names:
         fn = queries[name]
-        os.environ["SPARK_GRAFT_STREAM_R15_LEGACY"] = "1"
+        os.environ[args.env_var] = "1"
         spark.sparkContext.setJobDescription(f"streamab:{name}:warm")
         base_rows = canon(fn(spark, SF_DIR).collect())
         rec: dict = {"name": name}
@@ -66,7 +72,7 @@ def main() -> None:
             # warming trend cannot systematically favor the later variant
             order = (("legacy", "1"), ("new", "0"))
             for lab, flag in order if rep % 2 == 0 else tuple(reversed(order)):
-                os.environ["SPARK_GRAFT_STREAM_R15_LEGACY"] = flag
+                os.environ[args.env_var] = flag
                 spark.sparkContext.setJobDescription(f"streamab:{name}:{lab}")
                 t0 = time.time()
                 rows = fn(spark, SF_DIR).collect()
@@ -78,7 +84,7 @@ def main() -> None:
                 windows[lab].append([int(t0 * 1000), int(t1 * 1000)])
                 if canon(rows) != base_rows:
                     rec["MISMATCH"] = lab
-        os.environ.pop("SPARK_GRAFT_STREAM_R15_LEGACY", None)
+        os.environ.pop(args.env_var, None)
         rec.update(
             {
                 lab: {"min": min(ts), "all": ts, "windows_ms": windows[lab]}
