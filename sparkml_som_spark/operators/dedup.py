@@ -1312,7 +1312,17 @@ def fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", F.substring("c_name", 10, 7).alias("blk")
     )
-    a, b = c.alias("a"), c.alias("b")
+    # opt r16: spread the PROBE side.  customer broadcasts (well under
+    # the 64 MB threshold at any tested SF), so the join adds no
+    # exchange and the levenshtein pair stage inherits the scan's split
+    # count — 8 tasks on 32 cores at the 10x probe set (event log:
+    # 8 tasks x ~35 s, 8-vs-32-core ratio 1.02).  Round-robin the probe
+    # rows across the cluster first; the blocked-pair compute is the
+    # CPU-heavy per-row work _spread exists for, and the few-MB shuffle
+    # is noise next to it.  Aggregated output — row order irrelevant.
+    from sparkml_som_spark.sources import _spread
+
+    a, b = _spread(c).alias("a"), c.alias("b")
     pairs = a.join(
         b,
         (F.col("a.blk") == F.col("b.blk"))
