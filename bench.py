@@ -444,10 +444,14 @@ def main() -> None:
     compact.pop("leg_attribution", None)  # full map in the detail file
     compact["host_mood_annotations"] = len(host_mood)
     # full noop/cold-scratch maps live in the detail file; stdout gets
-    # the totals so the 1800-char tail budget is untouched
+    # the totals so the 1800-char tail budget is untouched.  The
+    # cold-scratch list is capped: a fresh clone runs the whole suite
+    # cold and an unbounded name list would crowd the queries out of
+    # (or overflow) the driver's 2000-char stdout tail buffer.
     compact.pop("queries_noop", None)
     compact["queries_noop_total"] = round(sum(queries_noop.values()), 3)
-    compact["cold_scratch"] = sorted(cold_scratch)
+    compact["cold_scratch_n"] = len(cold_scratch)
+    compact["cold_scratch"] = sorted(cold_scratch)[:6]
     budget = 1800
     kept: dict[str, float] = {}
     by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
