@@ -347,6 +347,13 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 4).alias("x"))
+    # opt r16, measured REJECTION: pinning `rev` (materialize_reused)
+    # before the rank read SLOWER — the range-partitioner's sample pass
+    # only re-runs the final aggregate above the groupBy exchange (the
+    # shuffle files are reused across the sample and fill passes), which
+    # is cheaper than the checkpoint barrier.  Order-alternated A/B at
+    # sf0.1, 8 reps: legacy min 1.172 s vs ckpt 1.222 s, ckpt better
+    # 2/8 pairwise (tools/env_ab.py).
     held: list = []
     ranked = distributed_global_rank(rev, ["x", "o_custkey"], cleanup=held)
     i = F.col("rank") + 1  # 0-based distributed rank -> textbook 1-based i

@@ -56,7 +56,12 @@ _HIST_WIDTH = 25.0  # events.value spans ~[0, 500) -> ~20 bins
 
 
 def distributed_global_rank(
-    df: DataFrame, sort_cols: list, n_parts: int = 8, *, cleanup: list
+    df: DataFrame,
+    sort_cols: list,
+    n_parts: int = 8,
+    *,
+    cleanup: list,
+    total_out: list | None = None,
 ) -> DataFrame:
     """Append a 0-based global `rank` column under the given total order
     WITHOUT a single-task window.
@@ -114,6 +119,13 @@ def distributed_global_rank(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
+    if total_out is not None:
+        # the per-partition counts already sum to the exact row count —
+        # callers that need N can take it here instead of paying a
+        # SECOND full pass (an extra job through mapInPandas or a
+        # re-scan of an expensive upstream) just to count rows they
+        # ranked a moment ago (opt r16, guide §1.2/§2.4)
+        total_out.append(acc)
     bc = spark.sparkContext.broadcast(offsets)
     from pyspark.sql import types as T
 
@@ -531,6 +543,14 @@ def pipeline_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("copy_rk") == 1)
         .select("doc_id", "source", "n_chars")
     )
+    # opt r16, measured REJECTION: pinning `deduped` (materialize_reused)
+    # before the rank measured FLAT — the range-partitioner's sample pass
+    # re-runs only the sort+window above the fingerprint exchange (the
+    # shuffle files are reused across sample and fill), which costs about
+    # what the checkpoint barrier does.  Order-alternated A/B at sf0.1,
+    # 8 reps: legacy min 1.597 s vs ckpt 1.606 s, 4/8 pairwise
+    # (tools/env_ab.py).  Left un-pinned: same speed, simpler plan,
+    # no executor-resident blocks.
     held: list = []
     ranked = distributed_global_rank(
         deduped, [F.col("n_chars").desc(), F.col("doc_id").asc()], n_parts=8, cleanup=held

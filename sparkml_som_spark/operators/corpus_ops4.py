@@ -553,25 +553,48 @@ def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank globally by (quality DESC, doc_id), and assign
     phase = floor(rank * P / N).  Composes the two primitives whose
     scale shapes are already pinned: the TWO-PHASE distributed global
-    rank (no single-task window) and the one-row broadcast count (N
-    folded into the plan, no driver action).  id_checksum pins exact
-    phase membership."""
+    rank (no single-task window), with N read from the rank helper's
+    bounded per-partition counts (one long per partition — no extra
+    corpus pass).  id_checksum pins exact phase membership."""
     from sparkml_som_spark.operators.corpus_ops3 import distributed_global_rank
     from sparkml_som_spark.operators.text import quality_scored
+
+    import os
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
     q = quality_scored(docs).select("doc_id", "quality")
     held: list = []
+    legacy = os.environ.get("SPARK_GRAFT_RANK_LEGACY") == "1"
+    if not legacy:
+        # opt r16 (guide §2.4): quality_scored tokenizes every doc, and
+        # this narrow (doc_id, quality) projection used to be re-run
+        # THREE times — the range-partitioner's sample pass, the rank
+        # shuffle's fill pass, and the one-row cnt aggregate below.
+        # Pinning it (one row per doc) makes tokenization a single pass;
+        # N then comes from the rank helper's own partition counts
+        # instead of the third pass.  Same doubles, same floor cut.
+        from sparkml_som_spark.operators.registry import materialize_reused
+
+        q = materialize_reused(q)
+    total: list = []
     ranked = distributed_global_rank(
-        q, [F.col("quality").desc(), F.col("doc_id").asc()], n_parts=8, cleanup=held
+        q,
+        [F.col("quality").desc(), F.col("doc_id").asc()],
+        n_parts=8,
+        cleanup=held,
+        total_out=total,
     )
-    cnt = q.agg(F.count(F.lit(1)).alias("cnt"))
+    if legacy:
+        cnt = q.agg(F.count(F.lit(1)).alias("cnt"))
+        ranked = ranked.crossJoin(F.broadcast(cnt))
+        n_col = F.col("cnt")
+    else:
+        n_col = F.lit(total[0])
     phase = F.floor(
-        F.col("rank") * _CURRICULUM_PHASES * 1.0 / F.col("cnt")
+        F.col("rank") * _CURRICULUM_PHASES * 1.0 / n_col
     ).alias("phase")
     out = (
-        ranked.crossJoin(F.broadcast(cnt))
-        .groupBy(phase)
+        ranked.groupBy(phase)
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.round(F.min("quality"), 4).alias("min_q"),

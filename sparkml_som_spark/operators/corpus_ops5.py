@@ -495,9 +495,23 @@ def quality_bigram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "source")
         .agg((F.sum("c").cast("long") / F.count(F.lit(1)).cast("long")).alias("score"))
     )
+    import os
+
     handles: list = []
-    ranked = distributed_global_rank(doc_score, ["score", "doc_id"], cleanup=handles)
-    n = ranked.count()
+    legacy = os.environ.get("SPARK_GRAFT_RANK_LEGACY") == "1"
+    if not legacy:
+        # opt r16 (guide §2.4/§1.2): (1) pin the per-doc scores (one
+        # narrow row per doc) so the range-partitioner's sample pass
+        # re-reads 20k rows instead of re-running the score aggregate,
+        # and (2) take N from the rank helper's own partition counts —
+        # the old `ranked.count()` was a SECOND full mapInPandas pass
+        # whose only output was a number the helper had already summed
+        doc_score = materialize_reused(doc_score)
+    total: list = []
+    ranked = distributed_global_rank(
+        doc_score, ["score", "doc_id"], cleanup=handles, total_out=total
+    )
+    n = ranked.count() if legacy else total[0]
     cut = n // 10
     out = (
         ranked.groupBy("source")
