@@ -148,25 +148,46 @@ def _learn_bpe(spark: SparkSession, sf_dir: str):
         "i -> struct(element_at(s, i) AS l, element_at(s, i + 1) AS r)) "
         "ELSE array() END"
     )
-    for k in range(_BPE_MERGES):
-        words = words.persist()
-        held.append(words)
-        top = (
-            words.select("freq", F.split(F.trim(F.col("spaced")), " ").alias("s"))
-            .select("freq", F.explode(F.expr(pair_struct)).alias("p"))
-            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.sum("freq").alias("cnt"))
-            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
-            .limit(1)
-            .collect()[0]
-        )
-        left, right, cnt = top["l"], top["r"], int(top["cnt"])
-        merges.append((k + 1, left, right, cnt))
-        pat, rep = f" {left} {right} ", f" {left}{right} "
-        col = F.col("spaced")
-        for _ in range(_BPE_PASSES):
-            col = F.replace(col, F.lit(pat), F.lit(rep))
-        words = words.withColumn("spaced", col)
+    import os
+
+    # opt r16 (guide §1.2 driver overhead): the merge loop runs 8
+    # sequential argmax queries over the CACHED word-type table.  Under
+    # AQE each of those tiny aggregates splits into 2-3 query-stage
+    # jobs, and the event log shows the wall time is driver gaps, not
+    # tasks (steady run 3.37 s, job time 1.36 s, 28 jobs where the
+    # loop's work is 9).  AQE has nothing to offer a bounded cached
+    # table (no skew, no runtime stats to exploit — the input is the
+    # SAME persisted vocab every round), so the loop runs with AQE off
+    # and one job per round; the corpus-sized words0 pass materializes
+    # inside round 0's job with the exchange already sized by
+    # spark.sql.shuffle.partitions.  Conf restored in the caller's
+    # finally.  SPARK_GRAFT_BPE_LEGACY=1 restores the AQE-on loop (A/B).
+    legacy = os.environ.get("SPARK_GRAFT_BPE_LEGACY") == "1"
+    aqe_prev = spark.conf.get("spark.sql.adaptive.enabled")
+    if not legacy:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for k in range(_BPE_MERGES):
+            words = words.persist()
+            held.append(words)
+            top = (
+                words.select("freq", F.split(F.trim(F.col("spaced")), " ").alias("s"))
+                .select("freq", F.explode(F.expr(pair_struct)).alias("p"))
+                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+                .limit(1)
+                .collect()[0]
+            )
+            left, right, cnt = top["l"], top["r"], int(top["cnt"])
+            merges.append((k + 1, left, right, cnt))
+            pat, rep = f" {left} {right} ", f" {left}{right} "
+            col = F.col("spaced")
+            for _ in range(_BPE_PASSES):
+                col = F.replace(col, F.lit(pat), F.lit(rep))
+            words = words.withColumn("spaced", col)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
     return merges, words, held
 
 
