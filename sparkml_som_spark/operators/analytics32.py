@@ -69,6 +69,17 @@ def _poisson_w(h):
     return w
 
 
+# r16 continuation, measured REJECTION: a size(filter(thresholds,
+# t -> h >= t)) form of this inverse CDF (value-identical — strictly
+# increasing thresholds make "count of thresholds <= h" equal the
+# CASE's index) shrinks the expression tree ~3x, targeting the entry's
+# measured driver gap (wall 4.45 s vs 1.10 s job time).  It LOST:
+# order-alternated A/B at sf0.1, 6 reps — WHEN chain min 3.384 s vs
+# HOF 3.859 s, HOF better 2/6 pairwise.  ArrayFilter is a
+# codegen-fallback expression, so the interpreted per-row lambda cost
+# exceeded the planning savings.  The WHEN chain stays.
+
+
 _BOOT_CASE = (
     "CASE "
     + " ".join(f"WHEN h < {t} THEN {k}" for k, t in enumerate(_BOOT_THRESH))

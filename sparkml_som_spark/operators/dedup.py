@@ -1188,6 +1188,16 @@ def min_label_components(sym: DataFrame, stats: dict | None = None) -> DataFrame
         .select("node", F.least(F.col("node"), F.col("nbr_min")).alias("label"))
         .transform(lambda d: materialize_reused(d, require_truncation=True))
     )
+    # r16 continuation, measured REJECTION: running this loop with AQE
+    # off (the BPE-merge-loop treatment — one job per round instead of
+    # 2-3 AQE query-stage jobs) did NOT transfer: order-alternated A/B
+    # at sf0.1, 5 reps — dedup_incremental_components 3.957 vs 3.639 s
+    # min but only 2/5 pairwise, dedup_connected_components flat,
+    # dedup_canonical_pick 1.187 vs 1.257 s WORSE 0/5.  Unlike the BPE
+    # argmax (TakeOrdered, no post-shuffle stage), each round here runs
+    # two chained 32-partition exchanges over tiny label tables, and
+    # AQE's runtime coalescing of those pays for its extra job
+    # scheduling.  AQE stays ON in the loop.
     rounds = 0
     while True:
         rounds += 1
