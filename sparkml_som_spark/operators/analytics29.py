@@ -243,6 +243,14 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = _doc_features(docs).select(
         "doc_id", "source", _dsir_bucket(F.col("feat")).alias("b")
     )
+    # r16 continuation, measured REJECTION: pinning `feats`
+    # (materialize_reused) to collapse the two tokenize+explode passes
+    # (histogram + scoring) into one measured FLAT — order-alternated
+    # A/B at sf0.1, 6 reps: two-pass min 1.557 s vs pinned 1.522 s,
+    # pinned better only 2/6 pairwise.  The token-occurrence checkpoint
+    # write costs about what the second tokenize pass does, and the
+    # two-pass form needs no executor-resident corpus-scale blocks —
+    # kept as-is (the design the docstring describes).
     is_t = F.col("source") == _DSIR_TARGET
     bucket_counts = feats.groupBy("b").agg(
         F.count(F.when(is_t, 1)).alias("ct"),

@@ -510,13 +510,36 @@ def quality_bigram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     )
-    vocab = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
-    doc_score = (
-        bg.join(F.broadcast(vocab), "b")
-        .groupBy("doc_id", "source")
-        .agg((F.sum("c").cast("long") / F.count(F.lit(1)).cast("long")).alias("score"))
-    )
     import os
+
+    if os.environ.get("SPARK_GRAFT_BIGRAM_LEGACY") == "1":
+        vocab = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+        doc_score = (
+            bg.join(F.broadcast(vocab), "b")
+            .groupBy("doc_id", "source")
+            .agg(
+                (F.sum("c").cast("long") / F.count(F.lit(1)).cast("long")).alias("score")
+            )
+        )
+    else:
+        # opt r16 (guide §2.3/§2.4): the char-bigram explode used to run
+        # twice — once into the vocab aggregate, once into the scoring
+        # join.  Pre-aggregating per-(doc, bigram) counts and pinning
+        # them runs the explode ONCE; vocab and the per-doc score then
+        # derive from the pinned counts.  Exact-integer identity:
+        # SUM(c) over occurrences == SUM(cnt * c) over distinct pairs,
+        # COUNT(*) == SUM(cnt), so the one IEEE division is unchanged.
+        dbc = materialize_reused(
+            bg.groupBy("doc_id", "source", "b").agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        vocab = dbc.groupBy("b").agg(F.sum("cnt").alias("c"))
+        doc_score = (
+            dbc.join(F.broadcast(vocab), "b")
+            .groupBy("doc_id", "source")
+            .agg(
+                (F.sum(F.col("cnt") * F.col("c")).cast("long") / F.sum("cnt").cast("long")).alias("score")
+            )
+        )
 
     handles: list = []
     legacy = os.environ.get("SPARK_GRAFT_RANK_LEGACY") == "1"
